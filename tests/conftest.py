@@ -1,0 +1,46 @@
+"""Test env: force JAX onto a virtual 8-device CPU mesh before any jax import.
+
+This is the multi-chip simulation strategy from SURVEY.md §4: sharding and
+gather logic are validated on `--xla_force_host_platform_device_count=8`
+without real TPU hardware.
+"""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+import subprocess
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)
+
+
+def _run(cmd, data):
+    p = subprocess.run(cmd, input=data, capture_output=True)
+    if p.returncode != 0:
+        raise RuntimeError(f"{cmd} failed: {p.stderr.decode()[:300]}")
+    return p.stdout
+
+
+@pytest.fixture(scope="session")
+def sys_bzip2():
+    def f(data: bytes, level: int = 9) -> bytes:
+        return _run(["bzip2", "-c", f"-{level}"], data)
+
+    return f
+
+
+@pytest.fixture(scope="session")
+def sys_bunzip2():
+    def f(data: bytes) -> bytes:
+        return _run(["bunzip2", "-c"], data)
+
+    return f

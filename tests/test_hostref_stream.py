@@ -1,0 +1,73 @@
+"""End-to-end host-reference codec vs the system bzip2 oracle.
+
+This automates what the reference validated only manually (SURVEY.md §4):
+system bzip2 round-trips in both directions, at multiple levels, plus
+corrupt-input rejection.
+"""
+import numpy as np
+import pytest
+
+from tpubz.hostref.stream import compress, decompress
+
+
+def _cases(rng):
+    return {
+        "empty": b"",
+        "one": b"x",
+        "runs": b"a" * 100_000,
+        "text": (b"the quick brown fox jumps over the lazy dog\n" * 800),
+        "random": bytes(rng.integers(0, 256, 120_000, dtype=np.uint8)),
+        "lowent": bytes(rng.integers(0, 4, 150_000, dtype=np.uint8)),
+        "period": b"abcabc" * 10_000,
+        "allbytes": bytes(range(256)) * 40,
+    }
+
+
+@pytest.mark.parametrize("level", [1, 9])
+def test_self_roundtrip(rng, level):
+    for name, d in _cases(rng).items():
+        c = compress(d, level)
+        assert decompress(c) == d, name
+
+
+@pytest.mark.parametrize("level", [1, 9])
+def test_system_bunzip2_accepts_ours(rng, sys_bunzip2, level):
+    for name, d in _cases(rng).items():
+        c = compress(d, level)
+        assert sys_bunzip2(c) == d, name
+
+
+@pytest.mark.parametrize("level", [1, 9])
+def test_we_decode_system_bzip2(rng, sys_bzip2, level):
+    for name, d in _cases(rng).items():
+        assert decompress(sys_bzip2(d, level)) == d, name
+
+
+@pytest.mark.parametrize("level", [1, 9])
+def test_size_not_worse_than_reference(rng, sys_bzip2, level):
+    # north-star constraint: compressed size <= reference bzip2 size
+    for name, d in _cases(rng).items():
+        if not d:
+            continue
+        ours = len(compress(d, level))
+        theirs = len(sys_bzip2(d, level))
+        assert ours <= theirs, (name, level, ours, theirs)
+
+
+def test_multiblock_level1(rng, sys_bunzip2):
+    # >100k at level 1 forces multiple blocks through the ordered assembly
+    d = bytes(rng.integers(0, 64, 350_000, dtype=np.uint8))
+    c = compress(d, 1)
+    assert decompress(c) == d
+    assert sys_bunzip2(c) == d
+
+
+def test_corrupt_rejection(rng):
+    d = bytes(rng.integers(0, 256, 5000, dtype=np.uint8))
+    c = bytearray(compress(d, 1))
+    with pytest.raises(ValueError):
+        decompress(bytes(c[:2]) + b"xx" + bytes(c[4:]))
+    # flip a payload bit -> CRC mismatch (or structural error)
+    c[len(c) // 2] ^= 0x10
+    with pytest.raises((ValueError, EOFError)):
+        decompress(bytes(c))

@@ -1,0 +1,164 @@
+"""Host (numpy) MSB-first bit packing and reading.
+
+The packer is deliberately structured as (values, bit-lengths) streams packed
+in one vectorized pass — the same algorithm the device bitpack kernel uses
+(prefix-sum of lengths + word scatter), so this doubles as its oracle.
+
+Reference semantics: src/bitstream/bitpacker.rs (MSB-first queue, zero-pad to
+byte on flush), src/bitstream/bitreader.rs (MSB-first buffered reads).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+class BitAccum:
+    """Accumulates (value, nbits) emissions; packs once at the end."""
+
+    def __init__(self):
+        self._vals: list[int] = []
+        self._bits: list[int] = []
+        self._total = 0
+
+    def put(self, value: int, nbits: int) -> None:
+        if nbits < 0 or nbits > 48:
+            raise ValueError(f"nbits out of range: {nbits}")
+        if nbits == 0:
+            return
+        value &= (1 << nbits) - 1
+        # split >24-bit fields so pack_bits can stay in uint32/uint64 math
+        while nbits > 24:
+            hi = nbits - 24
+            self._vals.append(value >> 24)
+            self._bits.append(hi)
+            self._total += hi
+            value &= (1 << 24) - 1
+            nbits = 24
+        self._vals.append(value)
+        self._bits.append(nbits)
+        self._total += nbits
+
+    def extend(self, vals, bits) -> None:
+        vals = np.asarray(vals, dtype=np.uint32)
+        bits = np.asarray(bits, dtype=np.int64)
+        if vals.size == 0:
+            return
+        if int(bits.max(initial=0)) > 24:
+            raise ValueError("extend() fields must be <= 24 bits")
+        self._vals.extend(int(v) for v in vals)
+        self._bits.extend(int(b) for b in bits)
+        self._total += int(bits.sum())
+
+    @property
+    def bit_len(self) -> int:
+        return self._total
+
+    def arrays(self) -> tuple[np.ndarray, np.ndarray]:
+        return (
+            np.asarray(self._vals, dtype=np.uint32),
+            np.asarray(self._bits, dtype=np.int64),
+        )
+
+    def pack(self) -> tuple[bytes, int]:
+        """Returns (bytes zero-padded to a whole byte, exact bit length)."""
+        vals, bits = self.arrays()
+        return pack_bits(vals, bits), self._total
+
+
+def pack_bits(vals: np.ndarray, bits: np.ndarray) -> bytes:
+    """Pack MSB-first: field i occupies bits [off_i, off_i + bits_i).
+
+    Each field must be <= 24 bits so that with a <= 31-bit in-word offset it
+    spans at most two 32-bit words (24 + 31 < 64).
+    """
+    vals = np.asarray(vals, dtype=np.uint64)
+    bits = np.asarray(bits, dtype=np.int64)
+    if vals.size == 0:
+        return b""
+    offs = np.concatenate(([0], np.cumsum(bits)))[:-1]
+    total = int(offs[-1] + bits[-1])
+    nwords = (total + 31) // 32 + 1
+    words = np.zeros(nwords, dtype=np.uint64)
+    w = offs >> 5
+    b = offs & 31
+    # 64-bit window starting at word w: value placed at bit (64 - b - bits)
+    shift = (64 - b - bits).astype(np.uint64)
+    contrib = vals << shift
+    hi = (contrib >> np.uint64(32)).astype(np.uint64)
+    lo = (contrib & np.uint64(0xFFFF_FFFF)).astype(np.uint64)
+    np.bitwise_or.at(words, w, hi)
+    np.bitwise_or.at(words, w + 1, lo)
+    nbytes = (total + 7) // 8
+    out = np.zeros(nwords * 4, dtype=np.uint8)
+    out[0::4] = (words >> np.uint64(24)) & np.uint64(0xFF)
+    out[1::4] = (words >> np.uint64(16)) & np.uint64(0xFF)
+    out[2::4] = (words >> np.uint64(8)) & np.uint64(0xFF)
+    out[3::4] = words & np.uint64(0xFF)
+    return out[:nbytes].tobytes()
+
+
+def splice_bit_chunks(chunks: list[tuple[bytes, int]]) -> tuple[bytes, int]:
+    """Concatenate byte-padded bit chunks at bit granularity.
+
+    chunks: [(payload_bytes, exact_bit_len), ...]. Used by the stream
+    assembler to join independently packed blocks (reference
+    src/bitstream/bitwriter.rs:94-100 does the same by backing its queue up
+    by the padding bit count).
+    """
+    acc = BitAccum()
+    for payload, nbits in chunks:
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        full = nbits // 8
+        if full:
+            acc.extend(arr[:full].astype(np.uint32), np.full(full, 8, np.int64))
+        rem = nbits - full * 8
+        if rem:
+            acc.put(int(arr[full]) >> (8 - rem), rem)
+    return acc.pack()
+
+
+class BitReader:
+    """MSB-first reader over an in-memory byte buffer."""
+
+    def __init__(self, data: bytes):
+        self._d = np.frombuffer(data, dtype=np.uint8)
+        self.pos = 0  # bit position
+
+    @property
+    def bit_len(self) -> int:
+        return len(self._d) * 8
+
+    def remaining(self) -> int:
+        return self.bit_len - self.pos
+
+    def read(self, nbits: int) -> int:
+        if nbits == 0:
+            return 0
+        if self.pos + nbits > self.bit_len:
+            raise EOFError("bitstream exhausted")
+        out = 0
+        pos = self.pos
+        d = self._d
+        # byte-at-a-time; header fields only — payload decode uses bulk paths
+        first_byte = pos >> 3
+        last_byte = (pos + nbits - 1) >> 3
+        acc = 0
+        for i in range(first_byte, last_byte + 1):
+            acc = (acc << 8) | int(d[i])
+        total_bits = (last_byte - first_byte + 1) * 8
+        drop_right = total_bits - (pos & 7) - nbits
+        out = (acc >> drop_right) & ((1 << nbits) - 1)
+        self.pos = pos + nbits
+        return out
+
+    def read_bit(self) -> int:
+        if self.pos >= self.bit_len:
+            raise EOFError("bitstream exhausted")
+        b = (int(self._d[self.pos >> 3]) >> (7 - (self.pos & 7))) & 1
+        self.pos += 1
+        return b
+
+    def peek_bits_array(self, start_bit: int, count: int) -> np.ndarray:
+        """Bulk: bits [start_bit, start_bit+count) as a uint8 0/1 array."""
+        idx = np.arange(start_bit, start_bit + count)
+        return (self._d[idx >> 3] >> (7 - (idx & 7))) & 1

@@ -1,0 +1,148 @@
+"""RLE1: the bzip2 first-stage run-length pre-pass, vectorized on host.
+
+Semantics (reference src/tools/rle1.rs): runs of 4..255 identical bytes are
+emitted as 4 literals + a count byte (run_len - 4, 0..251); longer runs are
+re-scanned greedily in 255-byte segments. The per-block CRC is computed over
+the *pre-RLE1* raw bytes (reference src/tools/rle1.rs:148,193), and the block
+budget applies to the *post-RLE1* output size (reference
+src/compression/compress.rs:55), which makes block splitting a sequential
+scan over the RLE1 output — here done once, vectorized, with per-segment
+cut points.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..format.constants import MAX_RUN, RUN_THRESHOLD
+
+
+def rle1_encode(data: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized RLE1.
+
+    Returns (out, seg_out_start, seg_in_start):
+      out           -- uint8 RLE1 output stream
+      seg_out_start -- int64 output offsets that are valid block cut points
+                       (each is the start of a self-contained RLE1 segment)
+      seg_in_start  -- int64 matching raw-input offset for each cut point
+                       (for block CRC ranges). A final sentinel entry maps
+                       len(out) -> len(data).
+    """
+    data = np.asarray(data, dtype=np.uint8)
+    n = data.size
+    if n == 0:
+        empty = np.zeros(0, np.uint8)
+        sent = np.zeros(1, np.int64)
+        return empty, sent, sent
+    # run decomposition
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    np.not_equal(data[1:], data[:-1], out=change[1:])
+    run_starts = np.flatnonzero(change)
+    run_lens = np.diff(np.concatenate((run_starts, [n])))
+    # each run splits greedily into segments of up to MAX_RUN input bytes
+    q, f = np.divmod(run_lens, MAX_RUN)
+    seg_cnt = q + (f > 0)
+    total_segs = int(seg_cnt.sum())
+    seg_run = np.repeat(np.arange(run_starts.size), seg_cnt)
+    # position of each segment within its run: 0..seg_cnt-1
+    seg_ofs = np.concatenate(([0], np.cumsum(seg_cnt)))[:-1]
+    seg_pos = np.arange(total_segs) - np.repeat(seg_ofs, seg_cnt)
+    is_last = seg_pos == (seg_cnt[seg_run] - 1)
+    seg_len = np.where(is_last & (f[seg_run] > 0), f[seg_run], MAX_RUN)
+    seg_in = run_starts[seg_run] + seg_pos * MAX_RUN
+    lit_len = np.minimum(seg_len, RUN_THRESHOLD)
+    has_cnt = seg_len >= RUN_THRESHOLD
+    out_len = lit_len + has_cnt
+    out_off = np.concatenate(([0], np.cumsum(out_len)))
+    total_out = int(out_off[-1])
+    out = np.empty(total_out, dtype=np.uint8)
+    # literals: gather — positions out_off[s] + j for j < lit_len[s]
+    lit_out_idx = np.repeat(out_off[:-1], lit_len) + (
+        np.arange(int(lit_len.sum())) - np.repeat(np.concatenate(([0], np.cumsum(lit_len)))[:-1], lit_len)
+    )
+    lit_in_idx = np.repeat(seg_in, lit_len) + (
+        np.arange(int(lit_len.sum())) - np.repeat(np.concatenate(([0], np.cumsum(lit_len)))[:-1], lit_len)
+    )
+    out[lit_out_idx] = data[lit_in_idx]
+    # count bytes
+    cnt_segs = np.flatnonzero(has_cnt)
+    out[out_off[cnt_segs] + RUN_THRESHOLD] = (seg_len[cnt_segs] - RUN_THRESHOLD).astype(np.uint8)
+    seg_out_start = np.concatenate((out_off[:-1], [total_out]))
+    seg_in_start = np.concatenate((seg_in, [n]))
+    return out, seg_out_start, seg_in_start
+
+
+def split_blocks(
+    out: np.ndarray,
+    seg_out_start: np.ndarray,
+    seg_in_start: np.ndarray,
+    budget: int,
+) -> list[tuple[int, int, int, int]]:
+    """Greedy block split of the RLE1 output at segment cut points.
+
+    Returns [(out_lo, out_hi, in_lo, in_hi), ...] — RLE1-output and raw-input
+    ranges per block. Each block's RLE1 size is <= budget (a single segment is
+    at most 5 bytes, far below any budget, so progress is guaranteed).
+    """
+    total = int(seg_out_start[-1])
+    if total == 0:
+        return []
+    blocks = []
+    i = 0  # index into seg arrays
+    nsegs = seg_out_start.size - 1
+    while i < nsegs:
+        lo = int(seg_out_start[i])
+        # last segment j with seg_out_start[j] - lo <= budget... we need the
+        # block to END at a cut point with size <= budget:
+        hi_idx = int(np.searchsorted(seg_out_start, lo + budget, side="right")) - 1
+        if hi_idx <= i:
+            hi_idx = i + 1  # always include at least one segment
+        blocks.append(
+            (
+                lo,
+                int(seg_out_start[hi_idx]),
+                int(seg_in_start[i]),
+                int(seg_in_start[hi_idx]),
+            )
+        )
+        i = hi_idx
+    return blocks
+
+
+def rle1_decode(data: np.ndarray) -> np.ndarray:
+    """Undo RLE1 (reference src/tools/rle1.rs:267-316).
+
+    Finds 4-byte equal groups (which, in a valid stream, are always followed
+    by a count byte) and expands them.
+    """
+    d = np.asarray(data, dtype=np.uint8)
+    n = d.size
+    if n < RUN_THRESHOLD:
+        return d.copy()
+    eq = d[:-1] == d[1:]
+    cand = np.flatnonzero(eq[:-2] & eq[1:-1] & eq[2:])
+    if cand.size == 0:
+        return d.copy()
+    pieces = []
+    cursor = 0
+    ci = 0
+    nc = cand.size
+    while ci < nc:
+        p = int(cand[ci])
+        if p < cursor:
+            ci += 1
+            continue
+        # literals up to and including the 4-run
+        pieces.append(d[cursor : p + 4])
+        if p + 4 >= n:
+            # malformed (run at very end without count) — emit as-is
+            cursor = p + 4
+            break
+        cnt = int(d[p + 4])
+        if cnt:
+            pieces.append(np.full(cnt, d[p], dtype=np.uint8))
+        cursor = p + 5
+        ci += 1
+    if cursor < n:
+        pieces.append(d[cursor:])
+    return np.concatenate(pieces) if pieces else np.zeros(0, np.uint8)
