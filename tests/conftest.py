@@ -13,6 +13,15 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The axon TPU plugin (if its sitecustomize ran) overrides jax_platforms
+# programmatically; force it back to CPU for the virtual 8-device mesh.
+try:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
+
 import numpy as np
 import pytest
 import subprocess

@@ -268,6 +268,16 @@ def assign_selectors_and_lengths(
     valid = chunks >= 0
     flat = (np.repeat(np.arange(nsel), GROUP_SIZE).reshape(nsel, GROUP_SIZE)[valid]) * alpha + chunks[valid]
     chunk_hist = np.bincount(flat, minlength=nsel * alpha).reshape(nsel, alpha)
+    return refine_from_hist(chunk_hist, rle2.size, freqs, alpha)
+
+
+def refine_from_hist(
+    chunk_hist: np.ndarray, rle2_len: int, freqs: np.ndarray, alpha: int
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Refinement core shared by the host-reference and device pipelines
+    (the device produces chunk_hist with a scatter-add kernel)."""
+    table_count = group_count_for(rle2_len)
+    nsel = chunk_hist.shape[0]
 
     def refine(tables, iters, lens_fn, track_best):
         selectors = np.zeros(nsel, dtype=np.int64)
@@ -320,6 +330,19 @@ def huffman_encode(acc: BitAccum, rle2: np.ndarray, freqs: np.ndarray, used: np.
     """Emit symbol map + tables + selectors + payload into ``acc``."""
     alpha = int(np.asarray(used, bool).sum()) + 2
     selectors, lengths, table_count = assign_selectors_and_lengths(rle2, freqs, alpha)
+    huffman_emit(acc, rle2, used, selectors, lengths, table_count)
+
+
+def huffman_emit(
+    acc: BitAccum,
+    rle2: np.ndarray,
+    used: np.ndarray,
+    selectors: np.ndarray,
+    lengths: np.ndarray,
+    table_count: int,
+) -> None:
+    """Emission half: symbol map, counts, selectors, length deltas, payload."""
+    alpha = int(np.asarray(used, bool).sum()) + 2
     # symbol map
     for w in encode_symbol_map(used):
         acc.put(w, 16)
