@@ -1,0 +1,76 @@
+"""Benchmark driver: prints ONE JSON line with the headline metric.
+
+Headline: single-chip bzip2 -9 encode throughput on a mixed Silesia-like
+corpus (text + binary + repetitive + random), measured end-to-end through the
+device-path compressor (RLE1 host scan -> device transforms -> Huffman
+refinement -> stream assembly), with output validated against system bunzip2.
+
+vs_baseline compares against the north-star per-chip share: 5 GB/s aggregate
+on a v5e-16 slice (BASELINE.json) -> 0.3125 GB/s per chip.
+"""
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+PER_CHIP_TARGET = 5.0 / 16  # GB/s
+
+
+def build_corpus(mb: int = 8) -> bytes:
+    """Deterministic mixed corpus roughly mirroring Silesia's composition."""
+    rng = np.random.default_rng(42)
+    parts = []
+    # text: system files cycled
+    text = b""
+    for p in ("/etc/services", "/etc/ssl/openssl.cnf", "/usr/share/dict/words"):
+        if os.path.exists(p):
+            with open(p, "rb") as f:
+                text += f.read()
+    if not text:
+        text = b"the quick brown fox jumps over the lazy dog\n" * 10000
+    target = mb * 1024 * 1024
+    while sum(map(len, parts)) < target:
+        parts.append(text)
+        parts.append(rng.integers(0, 256, target // 8, dtype=np.uint8).tobytes())
+        parts.append(bytes(rng.integers(0, 16, target // 8, dtype=np.uint8)))
+        parts.append(b"A" * (target // 16))
+        struct = np.zeros(target // 8, dtype=np.uint8)
+        struct[::7] = rng.integers(0, 256, struct[::7].size, dtype=np.uint8)
+        parts.append(struct.tobytes())
+    return b"".join(parts)[:target]
+
+
+def main():
+    level = 9
+    corpus = build_corpus(int(os.environ.get("TPUBZ_BENCH_MB", "8")))
+    from tpubz.stream.api import compress
+
+    # warm up compiles on a small prefix
+    compress(corpus[: 64 * 1024], level)
+    t0 = time.time()
+    out = compress(corpus, level)
+    dt = time.time() - t0
+    gbps = len(corpus) / dt / 1e9
+    # validate through system bunzip2
+    p = subprocess.run(["bunzip2", "-c"], input=out, capture_output=True)
+    ok = p.returncode == 0 and p.stdout == corpus
+    ratio = len(out) / len(corpus)
+    result = {
+        "metric": "encode_GBps_mixed_-9_1chip",
+        "value": round(gbps, 4),
+        "unit": "GB/s",
+        "vs_baseline": round(gbps / PER_CHIP_TARGET, 4),
+        "corpus_mb": len(corpus) // (1024 * 1024),
+        "compressed_ratio": round(ratio, 4),
+        "roundtrip_ok": ok,
+    }
+    print(json.dumps(result))
+    if not ok:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

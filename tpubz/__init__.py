@@ -1,0 +1,33 @@
+"""tpubz — TPU-native bzip2-format codec (JAX/XLA/Pallas).
+
+Public API:
+  compress(data, level=9)   -> bytes   (device pipeline; host fallback)
+  decompress(data)          -> bytes   (block-parallel host decode)
+
+Layer map (tpu-first rebuild of the reference, see SURVEY.md):
+  format/   stream constants, CRC-32/BZIP2, symbol maps
+  kernels/  device kernels: suffix sort (BWT), MTF monoid scan, RLE2,
+            bitpack; all jit/vmap/shard_map-composable on fixed shapes
+  hostref/  scalar numpy reference codec, bit-exact vs system bzip2 —
+            the oracle for every kernel
+  block/    per-block jitted encode pipeline
+  stream/   whole-stream assembly: RLE1 pre-pass, ordered bit splicing,
+            block-magic scan for parallel decode
+  dist/     block-data-parallel shard_map over device meshes
+"""
+
+__version__ = "0.1.0"
+
+
+def compress(data, level: int = 9) -> bytes:
+    try:
+        from .stream.api import compress as _c
+        return _c(data, level)
+    except ImportError:
+        from .hostref.stream import compress as _c
+        return _c(data, level)
+
+
+def decompress(data) -> bytes:
+    from .stream.decode import decompress as _d
+    return _d(bytes(data))

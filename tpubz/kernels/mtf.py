@@ -1,17 +1,24 @@
-"""Move-to-front on device, parallelized with a recency monoid.
+"""Move-to-front on device, scan-free.
 
 The reference's MTF is an inherently serial per-byte scan over a 256-entry
-list (src/tools/rle2_mtf.rs:61-138). TPU formulation: split the block into
-chunks; each chunk's effect on the MTF list is fully described by its
-*recency transform* (the chunk's distinct symbols ordered by last occurrence,
-most recent first). These transforms form a monoid under
-``a ∘ b = symbols-of-b ++ (a \\ b)``, so per-chunk start states come from one
-`associative_scan`, and the残 serial work is a C-step `lax.scan` whose body is
-vectorized over all chunks and the full 256-lane alphabet at once.
+list (src/tools/rle2_mtf.rs:61-138). TPU formulation, built only from the
+primitives this backend executes at full rate (sorts, rolls, cumscans,
+standalone scatters, elementwise) — no lax loops, no batched gathers:
 
-Transform representation over the 256-symbol alphabet:
-  mask[s] : symbol occurs in the segment
-  rank[s] : recency rank (0 = most recent) for mask symbols, ABSENT otherwise
+  1. The MTF list at any point is: symbols seen so far ordered by last
+     occurrence (most recent first), then unseen symbols in initial
+     (sorted-alphabet) order. So each chunk's start state follows directly
+     from an exclusive cummax of per-(chunk, symbol) last-occurrence
+     positions + one batched rank-by-sort. No transform composition needed.
+  2. Within a chunk, rank[i] = # distinct symbols since the previous
+     occurrence of sym[i]:
+       prev in-chunk:     #{j in (prev_i, i) : next_j >= i}  (positions that
+                          are last-in-window occurrences of their symbol)
+       prev out-of-chunk: start_rank[sym_i] + #{j < i : first-in-chunk_j,
+                          start_rank[sym_j] >= start_rank[sym_i]}
+                          (symbols re-seen in the chunk moved in front; the
+                          rest keep their chunk-start relative order)
+     Both cases reduce over one (chunk x chunk) boolean dominance matrix.
 """
 from __future__ import annotations
 
@@ -21,28 +28,45 @@ import jax.numpy as jnp
 ABSENT = jnp.int32(256)
 
 
-def _compose(a_mask, a_rank, b_mask, b_rank):
-    """Recency-monoid compose (a applied first, then b), batched over leading
-    dims: result = symbols of b (b's ranks) then symbols of a\\b (a's ranks,
-    compacted by removing b-symbols)."""
-    both = a_mask & b_mask
-    # histogram of a-ranks of symbols that b removes from a's residual order
-    dump = jnp.where(both, a_rank, ABSENT)
-    batch = a_rank.shape[:-1]
-    h = jax.vmap(
-        lambda dd: jnp.zeros(257, jnp.int32).at[dd].add(1, mode="drop")
-    )(dump.reshape(-1, 256)).reshape(batch + (257,))
-    removed_below = jnp.cumsum(h[..., :256], axis=-1) - h[..., :256]
-    size_b = jnp.sum(b_mask, axis=-1, keepdims=True).astype(jnp.int32)
-    a_compact = size_b + a_rank - jnp.take_along_axis(
-        removed_below, jnp.minimum(a_rank, 255), axis=-1
+def _rank_by_key(key):
+    """rank[..., lane] = position of lane in ascending-key order (batched,
+    gather/scatter-free via double sort)."""
+    m = key.shape[-1]
+    lanes = jnp.broadcast_to(
+        jnp.arange(m, dtype=jnp.int32), key.shape
     )
-    new_rank = jnp.where(b_mask, b_rank, jnp.where(a_mask, a_compact, ABSENT))
-    return a_mask | b_mask, new_rank.astype(jnp.int32)
+    _, lane_by_order = jax.lax.sort((key, lanes), num_keys=1)
+    pos = jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32), key.shape)
+    _, rank = jax.lax.sort((lane_by_order, pos), num_keys=1)
+    return rank
+
+
+def _lookup_by_sort(table_vals, qkeys, nkeys):
+    """out[q] = table_vals[qkeys[q]] without gathers: merge table entries and
+    queries in one sort, forward-fill table values with a cummax, sort back.
+    table_vals: int32[nkeys] (each < 2**9), qkeys: int32[Q] in [0, nkeys)."""
+    Q = qkeys.shape[0]
+    tkey = jnp.arange(nkeys, dtype=jnp.int32)
+    keys = jnp.concatenate((tkey, qkeys))
+    tag = jnp.concatenate(
+        (jnp.zeros(nkeys, jnp.int32), jnp.ones(Q, jnp.int32))
+    )
+    qid = jnp.concatenate(
+        (jnp.full(nkeys, -1, jnp.int32), jnp.arange(Q, dtype=jnp.int32))
+    )
+    enc0 = jnp.concatenate((table_vals.astype(jnp.int32), jnp.zeros(Q, jnp.int32)))
+    k_s, tag_s, qid_s, enc_s = jax.lax.sort((keys, tag, qid, enc0), num_keys=2)
+    # forward-fill: each key group starts with its (unique) table entry
+    carrier = jnp.where(tag_s == 0, k_s * (1 << 9) + enc_s, -1)
+    filled = jax.lax.associative_scan(jnp.maximum, carrier)
+    vals = filled & ((1 << 9) - 1)
+    # return query results in query order (sort by qid; table rows first)
+    _, out = jax.lax.sort((qid_s, vals), num_keys=1)
+    return out[nkeys:]
 
 
 def mtf_ranks(
-    last: jnp.ndarray, n: jnp.ndarray, chunk: int = 512
+    last: jnp.ndarray, n: jnp.ndarray, chunk: int = 256
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """last: uint8[N] BWT output (first n valid; N % chunk == 0).
 
@@ -54,52 +78,65 @@ def mtf_ranks(
     nc = N // chunk
     idx = jnp.arange(N, dtype=jnp.int32)
     valid = idx < n
-    sym = last.astype(jnp.int32)
+    sym = jnp.where(valid, last.astype(jnp.int32), 255)
 
     used = jnp.zeros(256, jnp.bool_).at[jnp.where(valid, sym, 256)].set(
         True, mode="drop"
     )
     init_rank = jnp.where(used, jnp.cumsum(used.astype(jnp.int32)) - 1, ABSENT)
 
-    csym = sym.reshape(nc, chunk)
-    # per-chunk recency transform: last occurrence position per symbol
-    pos_in_chunk = jnp.broadcast_to(jnp.arange(chunk, dtype=jnp.int32), (nc, chunk))
+    # global prev/next occurrence per position via one variadic sort
+    s_sym, s_idx = jax.lax.sort((sym, idx), num_keys=1)
+    same_prev = jnp.concatenate((jnp.zeros(1, jnp.bool_), s_sym[1:] == s_sym[:-1]))
+    same_next = jnp.concatenate((s_sym[1:] == s_sym[:-1], jnp.zeros(1, jnp.bool_)))
+    prev_sorted = jnp.where(same_prev, jnp.roll(s_idx, 1), -1)
+    next_sorted = jnp.where(same_next, jnp.roll(s_idx, -1), N)
+    _, prev_g, next_g = jax.lax.sort((s_idx, prev_sorted, next_sorted), num_keys=1)
+
+    # per-(chunk, symbol) last occurrence: flag last-in-chunk entries in the
+    # (sym, idx) sorted stream, one standalone scatter into (nc, 256)
+    s_cid = s_idx // chunk
+    nxt_diff = jnp.concatenate(
+        ((s_sym[1:] != s_sym[:-1]) | (s_cid[1:] != s_cid[:-1]), jnp.ones(1, jnp.bool_))
+    )
+    tgt_c = jnp.where(nxt_diff, s_cid, nc)
+    tgt_s = jnp.where(nxt_diff, s_sym, 0)
     last_pos = (
         jnp.full((nc, 256), -1, jnp.int32)
-        .at[jnp.arange(nc)[:, None], csym]
-        .max(pos_in_chunk)
+        .at[tgt_c, tgt_s]
+        .max(s_idx, mode="drop")
     )
-    t_mask = last_pos >= 0
-    # recency rank via descending argsort of last_pos
-    order = jnp.argsort(-last_pos, axis=-1)
-    t_rank = (
-        jnp.zeros((nc, 256), jnp.int32)
-        .at[jnp.arange(nc)[:, None], order]
-        .set(jnp.broadcast_to(jnp.arange(256, dtype=jnp.int32), (nc, 256)))
+    # exclusive running max over chunks = last occurrence before chunk start
+    run = jax.lax.associative_scan(jnp.maximum, last_pos, axis=0)
+    last_before = jnp.concatenate(
+        (jnp.full((1, 256), -1, jnp.int32), run[:-1]), axis=0
     )
-    t_rank = jnp.where(t_mask, t_rank, ABSENT)
+    # chunk start state: seen symbols by recency desc, then unseen by initial
+    # order — one combined sort key per lane
+    key = jnp.where(last_before >= 0, N - last_before, 2 * N + init_rank[None, :])
+    start_rank = _rank_by_key(key)  # (nc, 256)
 
-    # exclusive scan: shift right with identity transform at chunk 0
-    ident_mask = jnp.zeros((1, 256), jnp.bool_)
-    ident_rank = jnp.full((1, 256), ABSENT, jnp.int32)
-    sh_mask = jnp.concatenate((ident_mask, t_mask[:-1]))
-    sh_rank = jnp.concatenate((ident_rank, t_rank[:-1]))
-    pre_mask, pre_rank = jax.lax.associative_scan(
-        lambda a, b: _compose(a[0], a[1], b[0], b[1]), (sh_mask, sh_rank), axis=0
+    # start rank of each position's symbol (sort-based lookup, gather-free)
+    cid = idx // chunk
+    srank = _lookup_by_sort(
+        start_rank.reshape(-1), cid * 256 + sym, nc * 256
+    ).reshape(nc, chunk)
+
+    cstart = cid * chunk
+    lprev = jnp.where(prev_g >= cstart, prev_g - cstart, -1).reshape(nc, chunk)
+    lnext = jnp.where(next_g < cstart + chunk, next_g - cstart, chunk).reshape(
+        nc, chunk
     )
-    # chunk start state = initial alphabet order composed with the prefix
-    init_m = jnp.broadcast_to(used, (nc, 256))
-    init_r = jnp.broadcast_to(init_rank, (nc, 256))
-    _, start_rank = _compose(init_m, init_r, pre_mask, pre_rank)
+    lfirst = lprev < 0
 
-    # within-chunk serial MTF, vectorized over all chunks x 256 lanes
-    def step(R, col):
-        s = col  # (nc,) symbol per chunk at this position
-        r = jnp.take_along_axis(R, s[:, None], axis=-1)  # (nc, 1)
-        R = jnp.where(R < r, R + 1, R)
-        R = R.at[jnp.arange(nc), s].set(0)
-        return R, r[:, 0]
-
-    _, outs = jax.lax.scan(step, start_rank, csym.T)  # outs: (chunk, nc)
-    ranks = outs.T.reshape(N)
-    return ranks, used
+    li = jnp.arange(chunk, dtype=jnp.int32)
+    ii = li[None, :, None]  # row: position i
+    jj = li[None, None, :]  # col: candidate j
+    before = jj < ii
+    case1 = (jj > lprev[:, :, None]) & (lnext[:, None, :] >= ii)
+    case2 = lfirst[:, None, :] & (srank[:, None, :] >= srank[:, :, None])
+    has_prev = (lprev >= 0)[:, :, None]
+    mat = before & jnp.where(has_prev, case1, case2)
+    counts = jnp.sum(mat, axis=-1, dtype=jnp.int32)
+    ranks = counts + jnp.where(lfirst, srank, 0)
+    return ranks.reshape(N), used

@@ -2,16 +2,20 @@
 
 The reference's hot kernel is a comparator rotation sort with a SA-IS
 fallback (src/bwt_algorithms/bwt_sort.rs:27-86, sais_fallback.rs). On TPU we
-instead run prefix doubling: O(log n) rounds of a lexicographic two-key sort
-(`jax.lax.sort` variadic, which XLA lowers to its native sort network),
-re-ranking by cumsum of adjacent-difference flags. Ranks are composed mod n,
-so *rotation* (wraparound) order falls out naturally and the reference's
+run prefix doubling: O(log n) rounds of a lexicographic two-key sort
+(`jax.lax.sort` variadic — XLA's native sort is extremely fast on TPU),
+re-ranking by cumsum of adjacent-difference flags. Ranks compose mod n, so
+*rotation* (wraparound) order falls out naturally and the reference's
 Duval-rotation SA-IS workaround (sais_fallback.rs:582-620) is unnecessary.
 
-Fixed shape N with a dynamic valid length n: padded lanes carry rank PAD_RANK
-and sort to the tail. A `while_loop` exits as soon as ranks stop changing
-(equivalent to the reference selecting cheaper algorithms for easy data —
-most real blocks converge in far fewer than log2(n) rounds).
+Performance-critical formulation detail: inside compiled loops this backend
+executes arbitrary gathers/scatters orders of magnitude slower than sorts and
+rolls, so each round avoids them entirely:
+  - the mod-n shifted-rank lookup is two dynamic rolls + a select;
+  - the rank write-back to position space is a sort keyed by position
+    instead of a scatter.
+The loop body is a fixed 21-round `fori_loop` (while_loop has pathological
+per-iteration overhead here) with converged rounds frozen via select.
 """
 from __future__ import annotations
 
@@ -19,6 +23,8 @@ import jax
 import jax.numpy as jnp
 
 PAD_RANK = 1 << 30
+ROUNDS = 21  # ceil(log2(900k)) + 1; rank refinement is monotone and frozen
+             # via `done` once it reaches fixpoint
 
 
 def bwt_forward(data: jnp.ndarray, n: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -31,52 +37,47 @@ def bwt_forward(data: jnp.ndarray, n: jnp.ndarray) -> tuple[jnp.ndarray, jnp.nda
     n = jnp.asarray(n, jnp.int32)
     idx = jnp.arange(N, dtype=jnp.int32)
     valid = idx < n
-    rank = jnp.where(valid, data.astype(jnp.int32), PAD_RANK)
+    nn = jnp.maximum(n, 1)
 
-    def second_rank(rank, k):
-        # rank of the rotation k ahead, mod n; padded lanes stay PAD_RANK.
-        # True mod keeps every round well-defined even once k >= n (standard
-        # cyclic doubling), where ranks have provably reached fixpoint.
-        j = jnp.remainder(idx + k, jnp.maximum(n, 1))
-        return jnp.where(valid, rank[j], PAD_RANK)
+    def shifted(rank, k):
+        """rank[(i+k) mod n] for i < n, via two rolls + select (no gather)."""
+        kp = jnp.remainder(k, nn)
+        a = jnp.roll(rank, -kp)          # rank[i + kp] when i + kp < N
+        b = jnp.roll(rank, nn - kp)      # rank[i + kp - n] when i >= n - kp
+        return jnp.where(idx < nn - kp, a, b)
 
-    def rerank(r1s, r2s, order):
-        changed_flag = jnp.concatenate(
+    def one_round(rank, k):
+        r2 = jnp.where(valid, shifted(rank, k), PAD_RANK)
+        r1s, r2s, order = jax.lax.sort((rank, r2, idx), num_keys=2)
+        flag = jnp.concatenate(
             (
                 jnp.zeros(1, jnp.int32),
                 ((r1s[1:] != r1s[:-1]) | (r2s[1:] != r2s[:-1])).astype(jnp.int32),
             )
         )
-        new_sorted = jnp.cumsum(changed_flag)
-        # padded lanes route to an out-of-bounds dump slot and are dropped
-        tgt = jnp.where(valid[order], order, N)
-        return jnp.zeros(N, jnp.int32).at[tgt].set(new_sorted, mode="drop")
+        new_sorted = jnp.cumsum(flag)
+        # back to position space via sort-by-position (scatter-free)
+        _, new_rank = jax.lax.sort((order, new_sorted), num_keys=1)
+        return jnp.where(valid, new_rank, PAD_RANK)
 
-    def cond(state):
-        k, rank, done = state
-        return (~done) & (k < N)
+    rank = jnp.where(valid, data.astype(jnp.int32), PAD_RANK)
+    rank = one_round(rank, jnp.int32(1))  # covers k=2 (byte, next byte)
 
-    def body(state):
-        k, rank, _ = state
-        r2 = second_rank(rank, k)
-        r1s, r2s, order = jax.lax.sort((rank, r2, idx), num_keys=2)
-        new_rank = rerank(r1s, r2s, order)
-        new_rank = jnp.where(valid, new_rank, PAD_RANK)
-        done = jnp.all(new_rank == rank)
-        return k * 2, new_rank, done
+    def body(i, carry):
+        rank, k, done = carry
+        new_rank = one_round(rank, k)
+        done2 = done | jnp.all(new_rank == rank)
+        out = jnp.where(done, rank, new_rank)
+        return out, k * 2, done2
 
-    # first round: sort on (byte, next byte) -> rank_2 directly
-    r2 = second_rank(rank, jnp.int32(1))
-    r1s, r2s, order = jax.lax.sort((rank, r2, idx), num_keys=2)
-    rank = jnp.where(valid, rerank(r1s, r2s, order), PAD_RANK)
-    # initial done derives from n so its sharding axis-variance matches the
-    # loop-carried value under shard_map (a literal False is replicated)
-    k, rank, _ = jax.lax.while_loop(cond, body, (jnp.int32(2), rank, n < 0))
+    rank, _, _ = jax.lax.fori_loop(
+        0, ROUNDS, body, (rank, jnp.int32(2), n < 0)
+    )
 
     # final order; identical rotations (periodic data) still tie — break by
     # index, which matches any stable rotation sort's BWT output
-    _, sa = jax.lax.sort((jnp.where(valid, rank, PAD_RANK), idx), num_keys=1)
-    key = jnp.argmax((sa == 0) & (jnp.arange(N) < n)).astype(jnp.int32)
+    _, sa = jax.lax.sort((rank, idx), num_keys=1)
+    key = jnp.argmax((sa == 0) & valid).astype(jnp.int32)
     prev = jnp.where(sa == 0, n - 1, sa - 1)
     last = jnp.where(valid, data[prev], 0).astype(jnp.uint8)
     return key, last

