@@ -1,0 +1,46 @@
+"""Native C++ engine vs the pure-python oracle: bit-identical behavior."""
+import numpy as np
+import pytest
+
+from tpubz.native import refine_stream_native
+import tpubz.hostref.huffman as H
+
+
+@pytest.fixture(scope="module")
+def native_available():
+    if refine_stream_native(np.array([0, 1, 2], np.uint16), 3, 8) is None:
+        pytest.skip("native toolchain unavailable")
+
+
+def _python_refine(rle2, alpha):
+    freqs = np.bincount(rle2, minlength=258).astype(np.int64)
+    return H.assign_selectors_and_lengths(np.asarray(rle2, np.int64), freqs, alpha)
+
+
+def test_refine_native_matches_python(rng, native_available):
+    for _ in range(6):
+        alpha = int(rng.integers(3, 259))
+        rle2_len = int(rng.integers(3, 30000))
+        # skewed symbol distribution (zipf-ish) to exercise tree shapes
+        p = 1.0 / (np.arange(alpha) + 1.0)
+        p /= p.sum()
+        rle2 = rng.choice(alpha, size=rle2_len, p=p).astype(np.uint16)
+        rle2[-1] = alpha - 1  # EOB-ish tail
+        sel_p, len_p, tc_p = _python_refine(rle2, alpha)
+        nat = refine_stream_native(rle2, alpha, H.HUFFMAN_ITERS)
+        sel_n, len_n, tc_n = nat
+        assert tc_n == tc_p
+        assert list(sel_n) == list(sel_p)
+        assert np.array_equal(len_n[:tc_n], len_p[:tc_n])
+
+
+def test_stream_identical_with_and_without_native(rng, monkeypatch):
+    from tpubz.hostref.stream import compress
+
+    d = bytes(rng.integers(0, 100, 30000, dtype=np.uint8))
+    with_native = compress(d, 1)
+    import tpubz.native as N
+
+    monkeypatch.setattr(N, "refine_stream_native", lambda *a, **k: None)
+    without = compress(d, 1)
+    assert with_native == without

@@ -18,7 +18,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..format.constants import GROUP_SIZE
 from ..kernels.mtf import mtf_ranks
 from ..kernels.rle2 import rle2_encode
 from ..kernels.suffix_sort import bwt_forward
@@ -30,38 +29,27 @@ def block_mesh(devices=None, axis: str = "blocks") -> Mesh:
     return Mesh(devices.reshape(-1), (axis,))
 
 
-def _transform_one(data, n, out_len, max_nsel):
+def _transform_one(data, n):
     key, last = bwt_forward(data, n)
     ranks, used = mtf_ranks(last, n, chunk=MTF_CHUNK)
     eob = jnp.sum(used).astype(jnp.int32) + 1
     syms, rle2_len, freqs = rle2_encode(ranks, n, eob)
-    out_idx = jnp.arange(out_len, dtype=jnp.int32)
-    valid = out_idx < rle2_len
-    cid = out_idx // GROUP_SIZE
-    chunk_hist = (
-        jnp.zeros((max_nsel, 258), jnp.int32)
-        .at[jnp.where(valid, cid, max_nsel), syms.astype(jnp.int32)]
-        .add(1, mode="drop")
-    )
-    return key, syms, rle2_len, freqs, chunk_hist, used
+    return key, syms, rle2_len, freqs, used
 
 
 def make_sharded_transform(mesh: Mesh, N: int, axis: str = "blocks"):
     """Returns a jitted fn (data uint8[B,N], n int32[B]) -> per-block outputs,
     with B sharded across the mesh axis. B must be a multiple of mesh size."""
     out_len = N + 8
-    max_nsel = (out_len + GROUP_SIZE - 1) // GROUP_SIZE
     spec = P(axis)
 
     def batched(data, n):
-        return jax.vmap(
-            functools.partial(_transform_one, out_len=out_len, max_nsel=max_nsel)
-        )(data, n)
+        return jax.vmap(_transform_one)(data, n)
 
     sharded = jax.shard_map(
         batched,
         mesh=mesh,
         in_specs=(spec, spec),
-        out_specs=(spec, spec, spec, spec, spec, spec),
+        out_specs=(spec, spec, spec, spec, spec),
     )
-    return jax.jit(sharded), out_len, max_nsel
+    return jax.jit(sharded), out_len

@@ -274,8 +274,8 @@ def assign_selectors_and_lengths(
 def refine_from_hist(
     chunk_hist: np.ndarray, rle2_len: int, freqs: np.ndarray, alpha: int
 ) -> tuple[np.ndarray, np.ndarray, int]:
-    """Refinement core shared by the host-reference and device pipelines
-    (the device produces chunk_hist with a scatter-add kernel)."""
+    """Refinement core (pure numpy/python oracle): shared semantics with the
+    native C++ engine, which tests cross-check element-for-element."""
     table_count = group_count_for(rle2_len)
     nsel = chunk_hist.shape[0]
 
@@ -300,19 +300,30 @@ def refine_from_hist(
             )
         return best
 
-    # Candidate A: C-bzip2-faithful (exact seeding, exact heap, 4 passes) —
-    # reproduces the C encoder's choices, pinning size parity.
-    cand = refine(c_init_tables(freqs, table_count, alpha), 4, c_code_lengths, False)
-    # Candidate B: extra passes with best-snapshot tracking (reference stops
-    # blind after 4, huffman.rs:114); can only improve on A when it wins.
-    if HUFFMAN_ITERS > 4:
-        cand_b = refine(
-            c_init_tables(freqs, table_count, alpha), HUFFMAN_ITERS, c_code_lengths, True
-        )
-        if cand_b[0] < cand[0]:
-            cand = cand_b
-    _, selectors, lengths = cand
+    # C-bzip2-faithful evolution (exact seeding + exact heap tie-breaking,
+    # huffman.rs:472-532 / huffman_code_from_weights.rs) run for extra passes
+    # beyond the reference's blind 4 (huffman.rs:114), keeping the best
+    # snapshot by exact emitted size. The iteration-4 snapshot reproduces the
+    # C encoder's exact choices, so the result is never larger than C's.
+    _, selectors, lengths = refine(
+        c_init_tables(freqs, table_count, alpha),
+        max(HUFFMAN_ITERS, 4),
+        c_code_lengths,
+        True,
+    )
     return selectors, lengths, table_count
+
+
+def refine_stream(rle2: np.ndarray, freqs: np.ndarray, alpha: int):
+    """Refinement entry shared by the host-reference and device pipelines:
+    native C++ engine on the raw symbol stream when available (bit-identical,
+    cross-checked in tests), numpy/python fallback otherwise."""
+    from ..native import refine_stream_native
+
+    nat = refine_stream_native(np.asarray(rle2, dtype=np.uint16), alpha, HUFFMAN_ITERS)
+    if nat is not None:
+        return nat
+    return assign_selectors_and_lengths(rle2, freqs, alpha)
 
 
 def mtf_selectors(selectors: np.ndarray, table_count: int) -> np.ndarray:
@@ -329,7 +340,7 @@ def mtf_selectors(selectors: np.ndarray, table_count: int) -> np.ndarray:
 def huffman_encode(acc: BitAccum, rle2: np.ndarray, freqs: np.ndarray, used: np.ndarray) -> None:
     """Emit symbol map + tables + selectors + payload into ``acc``."""
     alpha = int(np.asarray(used, bool).sum()) + 2
-    selectors, lengths, table_count = assign_selectors_and_lengths(rle2, freqs, alpha)
+    selectors, lengths, table_count = refine_stream(rle2, freqs, alpha)
     huffman_emit(acc, rle2, used, selectors, lengths, table_count)
 
 

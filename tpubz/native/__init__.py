@@ -1,0 +1,87 @@
+"""Native (C++) host subsystem: hot sequential host-side stages.
+
+The reference's runtime is 100% native (Rust); here the device compute path
+is JAX/XLA and the host-side sequential stages (Huffman refinement, RLE1
+scan, block decode) are C++ built on demand with the baked toolchain and
+loaded via ctypes. Every native entry point has a numpy fallback and a test
+asserting bit-identical behavior.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_LOCK = threading.Lock()
+_LIB = None
+_LIB_FAILED = False
+
+_SOURCES = ["refine.cpp", "rle1.cpp", "decode.cpp"]
+
+
+def _build() -> str | None:
+    so_path = os.path.join(_HERE, "libtpubz_native.so")
+    srcs = [os.path.join(_HERE, s) for s in _SOURCES if os.path.exists(os.path.join(_HERE, s))]
+    stamp = max(os.path.getmtime(s) for s in srcs)
+    if os.path.exists(so_path) and os.path.getmtime(so_path) >= stamp:
+        return so_path
+    cmd = [
+        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+        *srcs, "-o", so_path,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return so_path
+    except Exception:
+        return None
+
+
+def get_lib():
+    """Returns the loaded native library, or None if unavailable."""
+    global _LIB, _LIB_FAILED
+    if _LIB is not None or _LIB_FAILED:
+        return _LIB
+    with _LOCK:
+        if _LIB is not None or _LIB_FAILED:
+            return _LIB
+        if os.environ.get("TPUBZ_NO_NATIVE"):
+            _LIB_FAILED = True
+            return None
+        path = _build()
+        if path is None:
+            _LIB_FAILED = True
+            return None
+        try:
+            lib = ctypes.CDLL(path)
+            lib.tpubz_refine_stream.restype = ctypes.c_int64
+            lib.tpubz_refine_stream.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+                ctypes.c_int32,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ]
+            _LIB = lib
+        except Exception:
+            _LIB_FAILED = True
+        return _LIB
+
+
+def refine_stream_native(rle2: np.ndarray, alpha: int, iters: int):
+    """Native mirror of hostref.huffman refinement on the raw symbol stream.
+    Returns (selectors, lengths[6, alpha], table_count) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    syms = np.ascontiguousarray(rle2, dtype=np.uint16)
+    nsel = (syms.size + 49) // 50
+    selectors = np.zeros(nsel, dtype=np.int32)
+    lengths = np.zeros((6, alpha), dtype=np.int32)
+    table_count = np.zeros(1, dtype=np.int32)
+    lib.tpubz_refine_stream(
+        syms.ctypes.data, syms.size, alpha, iters,
+        selectors.ctypes.data, lengths.ctypes.data, table_count.ctypes.data,
+    )
+    return selectors.astype(np.int64), lengths.astype(np.int64), int(table_count[0])

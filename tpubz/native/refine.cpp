@@ -1,0 +1,225 @@
+// Huffman selector/length refinement — native engine.
+//
+// Exact C-ABI mirror of tpubz/hostref/huffman.py:refine_from_hist /
+// refine_stream (tests cross-check element-for-element): C-bzip2-faithful
+// initial table seeding and BZ2_hbMakeCodeLengths heap semantics (17-bit cap
+// with weight-flattening retry), run for `iters` passes keeping the best
+// snapshot by exact emitted size (payload + unary MTF'd selectors +
+// delta-coded lengths). The iteration-4 snapshot reproduces C bzip2's exact
+// choices, pinning the <=-reference-size guarantee.
+//
+// Reference behavior reimplemented: huffman.rs:79-200 (passes),
+// huffman.rs:472-532 (seeding), huffman_code_from_weights.rs:17-109 (tree).
+#include <cstdint>
+#include <cstring>
+#include <vector>
+#include <algorithm>
+
+namespace {
+
+constexpr int kMaxAlpha = 258;
+constexpr int kMaxGroups = 6;
+constexpr int kMaxLen = 17;
+constexpr int kGroupSize = 50;
+
+int group_count_for(int64_t n) {
+  if (n < 200) return 2;
+  if (n < 600) return 3;
+  if (n < 1200) return 4;
+  if (n < 2400) return 5;
+  return 6;
+}
+
+// Exact BZ2_hbMakeCodeLengths heap mechanics (packed weight<<8|depth).
+void c_code_lengths(const int64_t* freq, int alpha, int32_t* lens_out) {
+  std::vector<int64_t> weight(2 * alpha + 2, 0);
+  std::vector<int32_t> heap(alpha + 2, 0);
+  std::vector<int32_t> parent(2 * alpha + 2, 0);
+  for (int i = 0; i < alpha; i++)
+    weight[i + 1] = (freq[i] == 0 ? 1 : freq[i]) << 8;
+  while (true) {
+    int n_nodes = alpha;
+    int n_heap = 0;
+    heap[0] = 0;
+    weight[0] = 0;
+    parent[0] = -2;
+    for (int i = 1; i <= alpha; i++) {
+      parent[i] = -1;
+      n_heap++;
+      heap[n_heap] = i;
+      int zz = n_heap;
+      int tmp = heap[zz];
+      while (weight[tmp] < weight[heap[zz >> 1]]) {
+        heap[zz] = heap[zz >> 1];
+        zz >>= 1;
+      }
+      heap[zz] = tmp;
+    }
+    auto downheap = [&]() {
+      int zz = 1;
+      int tmp = heap[zz];
+      while (true) {
+        int yy = zz << 1;
+        if (yy > n_heap) break;
+        if (yy < n_heap && weight[heap[yy + 1]] < weight[heap[yy]]) yy++;
+        if (weight[tmp] < weight[heap[yy]]) break;
+        heap[zz] = heap[yy];
+        zz = yy;
+      }
+      heap[zz] = tmp;
+    };
+    while (n_heap > 1) {
+      int n1 = heap[1];
+      heap[1] = heap[n_heap];
+      n_heap--;
+      downheap();
+      int n2 = heap[1];
+      heap[1] = heap[n_heap];
+      n_heap--;
+      downheap();
+      n_nodes++;
+      parent[n1] = parent[n2] = n_nodes;
+      int64_t w1 = weight[n1], w2 = weight[n2];
+      weight[n_nodes] = ((w1 & ~0xFFll) + (w2 & ~0xFFll)) |
+                        (1 + std::max(w1 & 0xFF, w2 & 0xFF));
+      parent[n_nodes] = -1;
+      n_heap++;
+      heap[n_heap] = n_nodes;
+      int zz = n_heap;
+      int tmp = heap[zz];
+      while (weight[tmp] < weight[heap[zz >> 1]]) {
+        heap[zz] = heap[zz >> 1];
+        zz >>= 1;
+      }
+      heap[zz] = tmp;
+    }
+    bool too_long = false;
+    for (int i = 1; i <= alpha; i++) {
+      int j = 0, k = i;
+      while (parent[k] >= 0) {
+        k = parent[k];
+        j++;
+      }
+      lens_out[i - 1] = j;
+      if (j > kMaxLen) too_long = true;
+    }
+    if (!too_long) return;
+    for (int i = 1; i <= alpha; i++) {
+      int64_t j = weight[i] >> 8;
+      weight[i] = (1 + j / 2) << 8;
+    }
+  }
+}
+
+// C-bzip2 initial seeding (adaptive remaining-frequency portions).
+void c_init_tables(const int64_t* freqs, int table_count, int alpha,
+                   int32_t lens[kMaxGroups][kMaxAlpha]) {
+  for (int t = 0; t < kMaxGroups; t++)
+    for (int s = 0; s < kMaxAlpha; s++) lens[t][s] = 15;
+  int gs = 0;
+  int n_part = table_count;
+  int64_t rem_f = 0;
+  for (int i = 0; i < alpha; i++) rem_f += freqs[i];
+  while (n_part > 0) {
+    int64_t t_freq = rem_f / n_part;
+    int ge = gs - 1;
+    int64_t a_freq = 0;
+    while (a_freq < t_freq && ge < alpha - 1) {
+      ge++;
+      a_freq += freqs[ge];
+    }
+    if (ge > gs && n_part != table_count && n_part != 1 &&
+        ((table_count - n_part) % 2 == 1)) {
+      a_freq -= freqs[ge];
+      ge--;
+    }
+    for (int v = gs; v <= ge; v++) lens[n_part - 1][v] = 0;
+    n_part--;
+    gs = ge + 1;
+    rem_f -= a_freq;
+  }
+}
+
+int64_t selector_bits(const std::vector<int32_t>& sel) {
+  int idx[kMaxGroups] = {0, 1, 2, 3, 4, 5};
+  int64_t bits = (int64_t)sel.size();
+  for (size_t c = 0; c < sel.size(); c++) {
+    int v = sel[c];
+    int r = 0;
+    while (idx[r] != v) r++;
+    bits += r;
+    for (int m = r; m > 0; m--) idx[m] = idx[m - 1];
+    idx[0] = v;
+  }
+  return bits;
+}
+
+}  // namespace
+
+extern "C" int64_t tpubz_refine_stream(const uint16_t* syms, int64_t rle2_len,
+                                       int32_t alpha, int32_t iters,
+                                       int32_t* out_selectors,
+                                       int32_t* out_lengths,
+                                       int32_t* out_table_count) {
+  const int table_count = group_count_for(rle2_len);
+  *out_table_count = table_count;
+  const int64_t nsel = (rle2_len + kGroupSize - 1) / kGroupSize;
+  if (iters < 4) iters = 4;
+
+  int64_t freqs[kMaxAlpha] = {0};
+  for (int64_t i = 0; i < rle2_len; i++) freqs[syms[i]]++;
+
+  int32_t lens[kMaxGroups][kMaxAlpha];
+  c_init_tables(freqs, table_count, alpha, lens);
+  std::vector<int32_t> sel(nsel, 0);
+  std::vector<int32_t> best_sel;
+  int32_t best_lens[kMaxGroups][kMaxAlpha];
+  int64_t best_bits = -1;
+
+  std::vector<int64_t> rfreq((size_t)kMaxGroups * kMaxAlpha);
+  for (int it = 0; it < iters; it++) {
+    std::fill(rfreq.begin(), rfreq.end(), 0);
+    for (int64_t c = 0; c < nsel; c++) {
+      const int64_t gs = c * kGroupSize;
+      const int64_t ge = std::min<int64_t>(gs + kGroupSize, rle2_len);
+      int64_t cost[kMaxGroups] = {0, 0, 0, 0, 0, 0};
+      for (int64_t i = gs; i < ge; i++) {
+        const int s = syms[i];
+        for (int t = 0; t < table_count; t++) cost[t] += lens[t][s];
+      }
+      int64_t bc = INT64_MAX;
+      int bt = 0;
+      for (int t = 0; t < table_count; t++)
+        if (cost[t] < bc) {
+          bc = cost[t];
+          bt = t;
+        }
+      sel[c] = bt;
+      int64_t* rf = &rfreq[(size_t)bt * kMaxAlpha];
+      for (int64_t i = gs; i < ge; i++) rf[syms[i]]++;
+    }
+    for (int t = 0; t < table_count; t++)
+      c_code_lengths(&rfreq[(size_t)t * kMaxAlpha], alpha, lens[t]);
+    // exact emitted bits for this snapshot; payload via rfreq x new lens
+    int64_t payload = 0;
+    for (int t = 0; t < table_count; t++)
+      for (int s = 0; s < alpha; s++)
+        payload += rfreq[(size_t)t * kMaxAlpha + s] * lens[t][s];
+    int64_t dl = 0;
+    for (int t = 0; t < table_count; t++)
+      for (int s = 1; s < alpha; s++)
+        dl += std::abs(lens[t][s] - lens[t][s - 1]);
+    int64_t bits = payload + selector_bits(sel) + 2 * dl +
+                   (int64_t)table_count * (alpha + 5);
+    if (best_bits < 0 || bits < best_bits) {
+      best_bits = bits;
+      best_sel = sel;
+      std::memcpy(best_lens, lens, sizeof(lens));
+    }
+  }
+  for (int64_t c = 0; c < nsel; c++) out_selectors[c] = best_sel[c];
+  for (int t = 0; t < kMaxGroups; t++)
+    for (int s = 0; s < alpha; s++)
+      out_lengths[(int64_t)t * alpha + s] = best_lens[t][s];
+  return best_bits;
+}
