@@ -63,10 +63,63 @@ def get_lib():
                 ctypes.c_int32,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ]
+            lib.tpubz_find_magic.restype = ctypes.c_int64
+            lib.tpubz_find_magic.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_uint64,
+                ctypes.c_void_p, ctypes.c_int64,
+            ]
+            lib.tpubz_decode_block.restype = ctypes.c_int64
+            lib.tpubz_decode_block.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int32,
+                ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ]
             _LIB = lib
         except Exception:
             _LIB_FAILED = True
         return _LIB
+
+
+def find_magic_native(data: np.ndarray, magic: int):
+    """All bit offsets of the 48-bit magic, or None if lib unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    cap = max(1024, data.size // 1000)
+    while True:
+        out = np.zeros(cap, dtype=np.int64)
+        n = lib.tpubz_find_magic(data.ctypes.data, data.size, magic,
+                                 out.ctypes.data, cap)
+        if n < cap:
+            return out[:n]
+        cap *= 8
+
+
+def decode_block_native(data: np.ndarray, start_bit: int, level: int):
+    """Decode one block starting right after its 48-bit magic.
+
+    Returns (raw bytes ndarray, end_bit, stream_blk_crc, computed_crc) or
+    None if the native lib is unavailable. Raises ValueError on corrupt
+    blocks. `data` must be a contiguous uint8 array of the whole stream.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    nbits = data.size * 8
+    cap = level * 100_000 * 52 + 1024  # RLE1 worst-case expansion (255/5)
+    out = np.empty(cap, dtype=np.uint8)
+    end_bit = np.zeros(1, dtype=np.int64)
+    blk_crc = np.zeros(1, dtype=np.uint32)
+    comp_crc = np.zeros(1, dtype=np.uint32)
+    rc = lib.tpubz_decode_block(
+        data.ctypes.data, nbits, start_bit, level,
+        out.ctypes.data, cap,
+        end_bit.ctypes.data, blk_crc.ctypes.data, comp_crc.ctypes.data,
+    )
+    if rc < 0:
+        raise ValueError(f"native block decode failed (code {rc})")
+    return out[:rc].copy(), int(end_bit[0]), int(blk_crc[0]), int(comp_crc[0])
 
 
 def refine_stream_native(rle2: np.ndarray, alpha: int, iters: int):

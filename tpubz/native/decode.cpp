@@ -1,0 +1,315 @@
+// Native block decoder: bit-exact mirror of tpubz/hostref/block.py
+// decode_block (reference semantics src/compression/decompress.rs:81-389).
+//
+// One call decodes one block starting at an arbitrary bit offset (blocks are
+// not byte-aligned) and returns the raw bytes, the block CRC from the
+// stream, the computed CRC, and the end bit position. Thread-safe and
+// GIL-free, so the Python layer runs blocks in parallel across a thread
+// pool (the pbzip2 strategy the reference explicitly does not implement,
+// src/compression/decompress.rs:3-4).
+#include <cstdint>
+#include <cstring>
+#include <vector>
+#include <algorithm>
+
+namespace {
+
+constexpr int kMaxLenDecode = 20;
+constexpr int kGroupSize = 50;
+constexpr int64_t kZeroBomb = 2 * 1024 * 1024;
+
+struct BitReader {
+  const uint8_t* d;
+  int64_t nbits;
+  int64_t pos;
+  bool ok = true;
+
+  uint64_t read(int n) {
+    if (pos + n > nbits) {
+      ok = false;
+      return 0;
+    }
+    uint64_t out = 0;
+    int64_t p = pos;
+    pos += n;
+    // byte-spanning MSB-first read
+    int64_t first = p >> 3;
+    int64_t last = (p + n - 1) >> 3;
+    uint64_t acc = 0;
+    for (int64_t i = first; i <= last; i++) acc = (acc << 8) | d[i];
+    int drop = (int)((last - first + 1) * 8 - (p & 7) - n);
+    out = (acc >> drop) & ((n == 64) ? ~0ull : ((1ull << n) - 1));
+    return out;
+  }
+  int bit() { return (int)read(1); }
+};
+
+// bzip2 CRC32 table (MSB-first, poly 0x04C11DB7)
+struct CrcTable {
+  uint32_t t[256];
+  CrcTable() {
+    for (uint32_t i = 0; i < 256; i++) {
+      uint32_t c = i << 24;
+      for (int k = 0; k < 8; k++)
+        c = (c & 0x80000000u) ? (c << 1) ^ 0x04C11DB7u : (c << 1);
+      t[i] = c;
+    }
+  }
+};
+const CrcTable kCrc;
+
+struct DecodeTable {
+  int min_len, max_len;
+  int32_t base[kMaxLenDecode + 2];
+  int32_t limit[kMaxLenDecode + 2];
+  int32_t off[kMaxLenDecode + 2];
+  int32_t syms[258];
+};
+
+void build_decode_table(const int32_t* lens, int alpha, DecodeTable* t) {
+  int min_len = 32, max_len = 0;
+  for (int s = 0; s < alpha; s++) {
+    min_len = std::min(min_len, (int)lens[s]);
+    max_len = std::max(max_len, (int)lens[s]);
+  }
+  t->min_len = min_len;
+  t->max_len = max_len;
+  // canonical order: ascending (len, sym)
+  int pos = 0;
+  int prev_limit = -1;
+  for (int l = min_len; l <= max_len; l++) {
+    int cnt = 0;
+    for (int s = 0; s < alpha; s++)
+      if (lens[s] == l) t->syms[pos + cnt++] = s;
+    if (l == min_len)
+      t->base[l] = 0;
+    else
+      t->base[l] = (prev_limit + 1) << 1;
+    t->off[l] = pos;
+    t->limit[l] = t->base[l] + cnt - 1;  // cnt==0 -> base-1 (never matches)
+    prev_limit = t->limit[l];
+    pos += cnt;
+  }
+}
+
+}  // namespace
+
+// Decodes one block. Returns: >0 = number of raw bytes written, and sets
+// *end_bit / *stream_crc_out / *computed_crc_out.
+// Negative return codes:
+//  -1 bitstream exhausted      -2 invalid key pointer
+//  -3 invalid table count      -4 selector out of range
+//  -5 invalid code length      -6 invalid Huffman code
+//  -7 RLE2 output overflow     -8 zero-run bomb
+//  -9 output buffer too small  -10 ran out of selectors
+extern "C" int64_t tpubz_decode_block(
+    const uint8_t* data, int64_t nbits, int64_t start_bit, int32_t level,
+    uint8_t* out, int64_t out_cap, int64_t* end_bit, uint32_t* block_crc_out,
+    uint32_t* computed_crc_out) {
+  BitReader br{data, nbits, start_bit};
+  uint32_t blk_crc = (uint32_t)br.read(32);
+  br.bit();  // randomized flag: read and ignored
+  int64_t key = (int64_t)br.read(24);
+  if (!br.ok) return -1;
+  if (key > (int64_t)level * 100000 + 10) return -2;
+  // symbol map
+  uint32_t l1 = (uint32_t)br.read(16);
+  uint8_t symbol_set[256];
+  int nsyms = 0;
+  for (int g = 0; g < 16; g++) {
+    if (l1 & (0x8000u >> g)) {
+      uint32_t w = (uint32_t)br.read(16);
+      for (int b = 0; b < 16; b++)
+        if (w & (0x8000u >> b)) symbol_set[nsyms++] = (uint8_t)((g << 4) | b);
+    }
+  }
+  if (!br.ok) return -1;
+  int alpha = nsyms + 2;
+  int eob = nsyms + 1;
+  int table_count = (int)br.read(3);
+  if (table_count < 2 || table_count > 6) return -3;
+  int64_t nsel = (int64_t)br.read(15);
+  int64_t max_sel = (int64_t)level * 100000 / kGroupSize;
+  std::vector<int32_t> raw_sel;
+  raw_sel.reserve(std::min(nsel, max_sel));
+  for (int64_t i = 0; i < nsel; i++) {
+    int g = 0;
+    while (br.bit()) {
+      g++;
+      if (!br.ok || g > 6) return br.ok ? -4 : -1;
+    }
+    if ((int64_t)raw_sel.size() < max_sel) raw_sel.push_back(g);
+  }
+  if (!br.ok) return -1;
+  // selector MTF undo
+  std::vector<int32_t> selectors(raw_sel.size());
+  {
+    int idx[6] = {0, 1, 2, 3, 4, 5};
+    for (size_t i = 0; i < raw_sel.size(); i++) {
+      int g = raw_sel[i];
+      if (g >= table_count) return -4;
+      int v = idx[g];
+      selectors[i] = v;
+      for (int m = g; m > 0; m--) idx[m] = idx[m - 1];
+      idx[0] = v;
+    }
+  }
+  // code lengths
+  std::vector<DecodeTable> tables(table_count);
+  for (int t = 0; t < table_count; t++) {
+    int32_t lens[258];
+    int cur = (int)br.read(5);
+    for (int s = 0; s < alpha; s++) {
+      while (br.bit()) {
+        if (br.bit())
+          cur--;
+        else
+          cur++;
+        if (!br.ok) return -1;
+      }
+      if (cur < 1 || cur > kMaxLenDecode) return -5;
+      lens[s] = cur;
+    }
+    build_decode_table(lens, alpha, &tables[t]);
+  }
+  if (!br.ok) return -1;
+  // payload: canonical Huffman decode until EOB, fused with RLE2+MTF undo
+  int64_t max_size = (int64_t)level * 100000;
+  std::vector<uint8_t> mtf_out((size_t)max_size);
+  uint8_t mtf[256];
+  std::memcpy(mtf, symbol_set, nsyms);
+  int64_t pos = 0;
+  int64_t zeros = 0;
+  int64_t bit_mult = 1;
+  int64_t group = -1;
+  int g_left = 0;
+  DecodeTable* T = nullptr;
+  while (true) {
+    if (g_left == 0) {
+      group++;
+      if (group >= (int64_t)selectors.size()) return -10;
+      T = &tables[selectors[group]];
+      g_left = kGroupSize;
+    }
+    g_left--;
+    int l = T->min_len;
+    int64_t code = (int64_t)br.read(l);
+    while (code > T->limit[l]) {
+      if (l >= T->max_len || !br.ok) return br.ok ? -6 : -1;
+      code = (code << 1) | br.bit();
+      l++;
+    }
+    if (!br.ok) return -1;
+    int sym = T->syms[T->off[l] + code - T->base[l]];
+    if (sym <= 1) {  // RUNA / RUNB
+      zeros += bit_mult * (sym + 1);
+      bit_mult <<= 1;
+      if (zeros > kZeroBomb) return -8;
+      continue;
+    }
+    if (zeros) {
+      if (pos + zeros > max_size) return -7;
+      std::memset(&mtf_out[pos], mtf[0], zeros);
+      pos += zeros;
+      zeros = 0;
+      bit_mult = 1;
+    }
+    if (sym == eob) break;
+    int r = sym - 1;
+    uint8_t b = mtf[r];
+    std::memmove(&mtf[1], &mtf[0], r);
+    mtf[0] = b;
+    if (pos >= max_size) return -7;
+    mtf_out[pos++] = b;
+  }
+  *end_bit = br.pos;
+  *block_crc_out = blk_crc;
+  int64_t n = pos;
+  if (key >= n && n > 0) return -2;
+  // inverse BWT: counting-sort next pointers + chase
+  // (reference src/bwt_algorithms/bwt_sort.rs:91-130)
+  std::vector<int32_t> tt((size_t)n);
+  {
+    int64_t counts[256] = {0};
+    for (int64_t i = 0; i < n; i++) counts[mtf_out[i]]++;
+    int64_t cum[256];
+    int64_t acc = 0;
+    for (int v = 0; v < 256; v++) {
+      cum[v] = acc;
+      acc += counts[v];
+    }
+    for (int64_t i = 0; i < n; i++) tt[cum[mtf_out[i]]++] = (int32_t)i;
+  }
+  // chase + inline RLE1 undo + CRC
+  uint32_t crc = 0xFFFFFFFFu;
+  int64_t out_n = 0;
+  int32_t p = n ? tt[key] : 0;
+  int run = 0;
+  uint8_t prev_byte = 0;
+  bool expect_count = false;
+  for (int64_t i = 0; i < n; i++) {
+    uint8_t b = mtf_out[p];
+    p = tt[p];
+    if (expect_count) {
+      // count byte: emit b more copies of prev_byte
+      if (out_n + b > out_cap) return -9;
+      std::memset(&out[out_n], prev_byte, b);
+      for (int k2 = 0; k2 < b; k2++)
+        crc = (crc << 8) ^ kCrc.t[((crc >> 24) ^ prev_byte) & 0xFF];
+      out_n += b;
+      expect_count = false;
+      run = 0;
+      continue;
+    }
+    if (out_n >= out_cap) return -9;
+    out[out_n++] = b;
+    crc = (crc << 8) ^ kCrc.t[((crc >> 24) ^ b) & 0xFF];
+    if (run > 0 && b == prev_byte)
+      run++;
+    else {
+      run = 1;
+      prev_byte = b;
+    }
+    if (run == 4) expect_count = true;
+  }
+  *computed_crc_out = crc ^ 0xFFFFFFFFu;
+  return out_n;
+}
+
+// Stream CRC fold helper (order-dependent; reference src/tools/crc.rs:25-27).
+extern "C" uint32_t tpubz_stream_crc_fold(uint32_t s, uint32_t blk) {
+  return (((s << 1) | (s >> 31)) ^ blk);
+}
+
+// Scan for a 48-bit magic at every bit offset. Writes up to cap offsets;
+// returns the number found (clamped to cap).
+extern "C" int64_t tpubz_find_magic(const uint8_t* data, int64_t nbytes,
+                                    uint64_t magic, int64_t* out,
+                                    int64_t cap) {
+  if (nbytes < 6) return 0;
+  int64_t found = 0;
+  const uint64_t mask = (1ull << 48) - 1;
+  const uint64_t mask56 = (1ull << 56) - 1;
+  // rolling 7-byte window w7 = bytes [p, p+7) MSB-first (56 bits)
+  uint64_t w7 = 0;
+  for (int i = 0; i < 6 && i < nbytes; i++) w7 = (w7 << 8) | data[i];
+  w7 <<= 8;  // placeholder for byte p+6, filled in the loop
+  for (int64_t p = 0; p + 6 <= nbytes; p++) {
+    int smax;
+    if (p + 7 <= nbytes) {
+      w7 = (w7 & ~0xFFull) | data[p + 6];
+      smax = 8;
+    } else {
+      w7 &= ~0xFFull;
+      smax = 1;
+    }
+    for (int s = 0; s < smax; s++) {
+      if (((w7 >> (8 - s)) & mask) == magic) {
+        if (found < cap) out[found] = 8 * p + s;
+        found++;
+      }
+    }
+    w7 = (w7 << 8) & mask56;
+  }
+  return found < cap ? found : cap;
+}

@@ -19,10 +19,16 @@ from ..hostref.block import decode_block
 
 
 def find_magic_bit_offsets(data: bytes, magic: int = BLOCK_MAGIC) -> np.ndarray:
-    """All bit offsets where the 48-bit magic occurs (vectorized scan)."""
+    """All bit offsets where the 48-bit magic occurs (native scan with a
+    vectorized numpy fallback)."""
     arr = np.frombuffer(data, dtype=np.uint8)
     if arr.size < 6:
         return np.zeros(0, dtype=np.int64)
+    from ..native import find_magic_native
+
+    nat = find_magic_native(arr, magic)
+    if nat is not None:
+        return nat
     # 56-bit windows starting at each byte: enough to cover any bit shift
     n = arr.size
     w = np.zeros(n, dtype=np.uint64)
@@ -46,7 +52,13 @@ def find_magic_bit_offsets(data: bytes, magic: int = BLOCK_MAGIC) -> np.ndarray:
 
 
 def decompress(data: bytes) -> bytes:
-    """Decode a .bz2 stream, validating per-block and stream CRCs."""
+    """Decode a .bz2 stream, validating per-block and stream CRCs.
+
+    Native path: all candidate block starts decode concurrently on a thread
+    pool (the native decoder is GIL-free), then results are stitched in
+    stream order; a magic hit inside a payload simply yields a wasted decode
+    that the stitch walk never consumes. Python fallback decodes serially.
+    """
     br = BitReader(data)
     magic = bytes(br.read(8) for _ in range(3))
     if magic != STREAM_MAGIC:
@@ -55,9 +67,24 @@ def decompress(data: bytes) -> bytes:
     if not 1 <= level <= 9:
         raise ValueError("invalid block size digit")
 
-    candidates = find_magic_bit_offsets(data)
-    # candidate block starts strictly after the stream header
-    candidates = candidates[candidates >= 32]
+    from ..native import decode_block_native, get_lib
+
+    arr = np.frombuffer(data, dtype=np.uint8)
+    results: dict[int, tuple] = {}
+    if get_lib() is not None:
+        candidates = [int(c) for c in find_magic_bit_offsets(data) if c >= 32]
+        if len(candidates) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            def try_decode(c):
+                try:
+                    return decode_block_native(arr, c + 48, level)
+                except ValueError:
+                    return None
+
+            with ThreadPoolExecutor(min(32, len(candidates))) as ex:
+                for c, res in zip(candidates, ex.map(try_decode, candidates)):
+                    results[c] = res
 
     s_crc = 0
     parts: list[np.ndarray] = []
@@ -67,8 +94,7 @@ def decompress(data: bytes) -> bytes:
         first48.pos = pos
         tag = first48.read(48)
         if tag == FOOTER_MAGIC:
-            br2 = first48
-            stored = br2.read(32)
+            stored = first48.read(32)
             if stored != s_crc:
                 raise ValueError(
                     f"stream CRC mismatch: stream says {stored:#010x}, got {s_crc:#010x}"
@@ -76,16 +102,21 @@ def decompress(data: bytes) -> bytes:
             break
         if tag != BLOCK_MAGIC:
             raise ValueError("invalid block header magic")
-        br2 = first48
-        raw, blk_crc = decode_block(br2, level)
-        actual = block_crc(raw)
+        if pos in results and results[pos] is not None:
+            raw, end_bit, blk_crc, actual = results[pos]
+        elif get_lib() is not None:
+            raw, end_bit, blk_crc, actual = decode_block_native(arr, pos + 48, level)
+        else:
+            raw, blk_crc = decode_block(first48, level)
+            end_bit = first48.pos
+            actual = block_crc(raw)
         if actual != blk_crc:
             raise ValueError(
                 f"block CRC mismatch: stream says {blk_crc:#010x}, got {actual:#010x}"
             )
         s_crc = stream_crc_fold(s_crc, blk_crc)
         parts.append(raw)
-        pos = br2.pos
+        pos = end_bit
     return b"".join(p.tobytes() for p in parts)
 
 
