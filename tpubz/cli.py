@@ -164,8 +164,24 @@ def _decompress_fn():
     return decompress
 
 
+def _setup_logging(o: Opts):
+    import logging
+
+    # -v..-vvvvv maps to log levels like the reference (cli.rs:294-301)
+    level = (
+        logging.ERROR if o.verbosity == 0 or o.quiet
+        else logging.WARNING if o.verbosity == 1
+        else logging.INFO if o.verbosity in (2, 3)
+        else logging.DEBUG
+    )
+    logging.basicConfig(stream=sys.stderr, level=level,
+                        format="tpubz: %(message)s")
+    logging.getLogger("tpubz").setLevel(level)
+
+
 def run(argv: list[str], prog: str = "tpubz") -> int:
     o = parse_args(argv, prog)
+    _setup_logging(o)
     compress = _compress_fn(o) if o.mode == "zip" else None
     decompress = _decompress_fn() if o.mode in ("unzip", "test") else None
 

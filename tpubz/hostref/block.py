@@ -7,7 +7,11 @@ Decode mirrors src/compression/decompress.rs:81-389.
 """
 from __future__ import annotations
 
+import logging
+
 import numpy as np
+
+log = logging.getLogger("tpubz")
 
 from ..format.constants import BLOCK_MAGIC, group_count_for
 from ..format.symbol_map import decode_symbol_map
@@ -30,8 +34,14 @@ def encode_block(rle1_block: np.ndarray, crc: int) -> BitAccum:
     acc.put(crc, 32)
     acc.put(0, 1)  # randomized: always 0 (compress_block.rs:41)
     key, last = bwt_encode(rle1_block)
+    log.debug("key %d written at bit %d", key, acc.bit_len)
     acc.put(key, 24)
     rle2, freqs, used = mtf_rle2_encode(last)
+    # per-block stats, mirroring reference compress_block.rs:58-63
+    log.info(
+        "block: %d bytes in, %d symbols after MTF+RLE2, %d byte values in use",
+        rle1_block.size, rle2.size, int(used.sum()),
+    )
     huffman_encode(acc, rle2, freqs, used)
     return acc
 

@@ -19,7 +19,11 @@ count clamp at level*100_000/50) per src/compression/decompress.rs:140-359.
 """
 from __future__ import annotations
 
+import logging
+
 import numpy as np
+
+log = logging.getLogger("tpubz")
 
 from ..format.constants import (
     GROUP_SIZE,
@@ -354,11 +358,15 @@ def huffman_emit(
 ) -> None:
     """Emission half: symbol map, counts, selectors, length deltas, payload."""
     alpha = int(np.asarray(used, bool).sum()) + 2
-    # symbol map
+    # symbol map (bit-position tracing mirrors the reference's format-debug
+    # story, bitpacker.rs:109-111 / huffman.rs:208-222)
+    log.debug("symbol map written at bit %d", acc.bit_len)
     for w in encode_symbol_map(used):
         acc.put(w, 16)
+    log.debug("table count %d written at bit %d", table_count, acc.bit_len)
     acc.put(table_count, 3)
     nsel = selectors.size
+    log.debug("selector count %d written at bit %d", nsel, acc.bit_len)
     acc.put(nsel, 15)
     # selectors: MTF + unary
     for m in mtf_selectors(selectors, table_count):
@@ -369,6 +377,7 @@ def huffman_emit(
         lens = lengths[t]
         codes[t] = canonical_codes(lens)
         cur = int(lens[0])
+        log.debug("table %d origin %d written at bit %d", t, cur, acc.bit_len)
         acc.put(cur, 5)
         for s in range(alpha):
             delta = int(lens[s]) - cur
@@ -385,6 +394,7 @@ def huffman_emit(
     sel_per_sym = np.repeat(selectors, GROUP_SIZE)[: rle2.size]
     sym_codes = codes[sel_per_sym, rle2].astype(np.uint32)
     sym_bits = lengths[sel_per_sym, rle2].astype(np.int64)
+    log.debug("payload (%d symbols) written at bit %d", rle2.size, acc.bit_len)
     acc.extend(sym_codes, sym_bits)
 
 
