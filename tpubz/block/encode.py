@@ -30,12 +30,33 @@ MTF_CHUNK = 256
 
 
 @jax.jit
-def _transform(data, n):
-    """data uint8[N] (first n valid) -> (key, syms, rle2_len, freqs, used)."""
-    key, last = bwt_forward(data, n)
-    ranks, used = mtf_ranks(last, n, chunk=MTF_CHUNK)
+def _stage_bwt(data, n):
+    return bwt_forward(data, n)
+
+
+@jax.jit
+def _stage_mtf(last, n):
+    return mtf_ranks(last, n, chunk=MTF_CHUNK)
+
+
+@jax.jit
+def _stage_rle2(ranks, n, used):
     eob = jnp.sum(used).astype(jnp.int32) + 1
-    syms, rle2_len, freqs = rle2_encode(ranks, n, eob)
+    return rle2_encode(ranks, n, eob)
+
+
+def _transform(data, n):
+    """data uint8[N] (first n valid) -> (key, syms, rle2_len, freqs, used).
+
+    Three separately-jitted stages rather than one fused graph: this
+    backend's compile time grows superlinearly with graph size (the fused
+    900k transform takes tens of minutes to compile vs ~1 minute for the
+    stages), intermediates stay on device between calls, and the persistent
+    compilation cache survives single-stage edits.
+    """
+    key, last = _stage_bwt(data, n)
+    ranks, used = _stage_mtf(last, n)
+    syms, rle2_len, freqs = _stage_rle2(ranks, n, used)
     return key, syms, rle2_len, freqs, used
 
 

@@ -109,6 +109,20 @@ def split_blocks(
     return blocks
 
 
+def rle1_blocks(data: np.ndarray, budget: int):
+    """RLE1-encode ``data`` and split into blocks: returns (rle1_out, blocks)
+    with blocks = [(out_lo, out_hi, in_lo, in_hi), ...]. Dispatches to the
+    native C++ scanner (cross-checked bit-identical in tests) with this
+    module's vectorized numpy path as fallback."""
+    from ..native import rle1_split_native
+
+    nat = rle1_split_native(data, budget)
+    if nat is not None:
+        return nat
+    out, seg_out, seg_in = rle1_encode(data)
+    return out, split_blocks(out, seg_out, seg_in, budget)
+
+
 def rle1_decode(data: np.ndarray) -> np.ndarray:
     """Undo RLE1 (reference src/tools/rle1.rs:267-316).
 

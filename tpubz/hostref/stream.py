@@ -14,7 +14,7 @@ from ..format.constants import FOOTER_MAGIC, BLOCK_MAGIC, STREAM_MAGIC, block_bu
 from ..format.crc import block_crc, stream_crc_fold
 from .bitio import BitAccum, BitReader
 from .block import decode_block, encode_block
-from .rle1 import rle1_encode, split_blocks
+from .rle1 import rle1_blocks
 
 
 def compress(data: bytes | np.ndarray, level: int = 9) -> bytes:
@@ -29,8 +29,7 @@ def compress(data: bytes | np.ndarray, level: int = 9) -> bytes:
     for b in STREAM_MAGIC:
         acc.put(b, 8)
     acc.put(0x30 + level, 8)
-    out, seg_out, seg_in = rle1_encode(arr)
-    blocks = split_blocks(out, seg_out, seg_in, block_budget(level))
+    out, blocks = rle1_blocks(arr, block_budget(level))
     s_crc = 0
     for (olo, ohi, ilo, ihi) in blocks:
         crc = block_crc(arr[ilo:ihi])

@@ -63,6 +63,12 @@ def get_lib():
                 ctypes.c_int32,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ]
+            lib.tpubz_rle1_split.restype = ctypes.c_int64
+            lib.tpubz_rle1_split.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_int64,
+            ]
             lib.tpubz_find_magic.restype = ctypes.c_int64
             lib.tpubz_find_magic.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_uint64,
@@ -79,6 +85,29 @@ def get_lib():
         except Exception:
             _LIB_FAILED = True
         return _LIB
+
+
+def rle1_split_native(data: np.ndarray, budget: int):
+    """RLE1-encode + split into blocks. Returns (rle1_out, blocks) where
+    blocks is [(out_lo, out_hi, in_lo, in_hi), ...], or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    arr = np.ascontiguousarray(data, dtype=np.uint8)
+    n = arr.size
+    # worst case: runs of exactly 4 expand 4 -> 5 bytes
+    out_max = n + n // 4 + 16
+    out = np.empty(out_max, dtype=np.uint8)
+    out_len = np.zeros(1, dtype=np.int64)
+    # blocks can close up to 5 bytes short of the budget (segment granularity)
+    cap = max(4, out_max // max(budget - 5, 1) + 8)
+    blocks = np.zeros((cap, 4), dtype=np.int64)
+    nb = lib.tpubz_rle1_split(
+        arr.ctypes.data, n, budget, out.ctypes.data,
+        out_len.ctypes.data, blocks.ctypes.data, cap,
+    )
+    assert nb <= cap, "rle1 block capacity underestimated"
+    return out[: int(out_len[0])], [tuple(int(x) for x in row) for row in blocks[:nb]]
 
 
 def find_magic_native(data: np.ndarray, magic: int):

@@ -22,7 +22,7 @@ import numpy as np
 from ..format.constants import FOOTER_MAGIC, STREAM_MAGIC, block_budget
 from ..format.crc import block_crc, stream_crc_fold
 from ..hostref.bitio import BitAccum
-from ..hostref.rle1 import rle1_encode, split_blocks
+from ..hostref.rle1 import rle1_blocks
 
 WINDOW = int(os.environ.get("TPUBZ_WINDOW", "16"))
 
@@ -74,8 +74,7 @@ def compress(data: bytes | np.ndarray, level: int = 9) -> bytes:
     for b in STREAM_MAGIC:
         acc.put(b, 8)
     acc.put(0x30 + level, 8)
-    out, seg_out, seg_in = rle1_encode(arr)
-    blocks = split_blocks(out, seg_out, seg_in, block_budget(level))
+    out, blocks = rle1_blocks(arr, block_budget(level))
     s_crc = 0
     inflight: deque = deque()
 
