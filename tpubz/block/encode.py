@@ -14,6 +14,7 @@ host reference, the full device-path stream is byte-identical to
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -27,6 +28,25 @@ from ..kernels.rle2 import rle2_encode
 from ..kernels.suffix_sort import bwt_forward
 
 MTF_CHUNK = 256
+
+_cache_ready = False
+
+
+def setup_jax_cache():
+    """Persistent compilation cache: first-compile of the 900k transforms is
+    expensive (tens of seconds to minutes on this backend); cache across
+    processes. Called by every entry path that jits device kernels."""
+    global _cache_ready
+    if _cache_ready:
+        return
+    cache_dir = os.environ.get("TPUBZ_JAX_CACHE", "/root/.jax_cache")
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:
+        pass
+    _cache_ready = True
 
 
 @jax.jit
@@ -64,6 +84,7 @@ class DeviceBlockEncoder:
     """Encodes RLE1 blocks through the device transform pipeline."""
 
     def __init__(self, level: int):
+        setup_jax_cache()
         self.level = level
         raw = level * 100_000
         self.N = ((raw + MTF_CHUNK - 1) // MTF_CHUNK) * MTF_CHUNK

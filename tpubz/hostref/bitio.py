@@ -13,11 +13,17 @@ import numpy as np
 
 
 class BitAccum:
-    """Accumulates (value, nbits) emissions; packs once at the end."""
+    """Accumulates (value, nbits) emissions; packs once at the end.
+
+    Storage is a list of numpy chunks (scalar puts buffer into a small python
+    list that is flushed to a chunk) so bulk emissions — e.g. a block's
+    entire Huffman payload — stay vectorized end to end.
+    """
 
     def __init__(self):
-        self._vals: list[int] = []
-        self._bits: list[int] = []
+        self._chunks: list[tuple[np.ndarray, np.ndarray]] = []
+        self._pend_vals: list[int] = []
+        self._pend_bits: list[int] = []
         self._total = 0
 
     def put(self, value: int, nbits: int) -> None:
@@ -29,14 +35,25 @@ class BitAccum:
         # split >24-bit fields so pack_bits can stay in uint32/uint64 math
         while nbits > 24:
             hi = nbits - 24
-            self._vals.append(value >> 24)
-            self._bits.append(hi)
+            self._pend_vals.append(value >> 24)
+            self._pend_bits.append(hi)
             self._total += hi
             value &= (1 << 24) - 1
             nbits = 24
-        self._vals.append(value)
-        self._bits.append(nbits)
+        self._pend_vals.append(value)
+        self._pend_bits.append(nbits)
         self._total += nbits
+
+    def _flush_pending(self) -> None:
+        if self._pend_vals:
+            self._chunks.append(
+                (
+                    np.asarray(self._pend_vals, dtype=np.uint32),
+                    np.asarray(self._pend_bits, dtype=np.int64),
+                )
+            )
+            self._pend_vals = []
+            self._pend_bits = []
 
     def extend(self, vals, bits) -> None:
         vals = np.asarray(vals, dtype=np.uint32)
@@ -45,8 +62,8 @@ class BitAccum:
             return
         if int(bits.max(initial=0)) > 24:
             raise ValueError("extend() fields must be <= 24 bits")
-        self._vals.extend(int(v) for v in vals)
-        self._bits.extend(int(b) for b in bits)
+        self._flush_pending()
+        self._chunks.append((vals, bits))
         self._total += int(bits.sum())
 
     @property
@@ -54,9 +71,12 @@ class BitAccum:
         return self._total
 
     def arrays(self) -> tuple[np.ndarray, np.ndarray]:
+        self._flush_pending()
+        if not self._chunks:
+            return np.zeros(0, np.uint32), np.zeros(0, np.int64)
         return (
-            np.asarray(self._vals, dtype=np.uint32),
-            np.asarray(self._bits, dtype=np.int64),
+            np.concatenate([c[0] for c in self._chunks]),
+            np.concatenate([c[1] for c in self._chunks]),
         )
 
     def pack(self) -> tuple[bytes, int]:
@@ -68,9 +88,16 @@ class BitAccum:
 def pack_bits(vals: np.ndarray, bits: np.ndarray) -> bytes:
     """Pack MSB-first: field i occupies bits [off_i, off_i + bits_i).
 
+    Dispatches to the native sequential packer (cross-checked byte-for-byte
+    in tests); the numpy fallback uses offset prefix sums + word scatters.
     Each field must be <= 24 bits so that with a <= 31-bit in-word offset it
     spans at most two 32-bit words (24 + 31 < 64).
     """
+    from ..native import pack_bits_native
+
+    nat = pack_bits_native(np.asarray(vals, np.uint32), np.asarray(bits, np.int64))
+    if nat is not None:
+        return nat
     vals = np.asarray(vals, dtype=np.uint64)
     bits = np.asarray(bits, dtype=np.int64)
     if vals.size == 0:

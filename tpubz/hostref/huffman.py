@@ -331,6 +331,11 @@ def refine_stream(rle2: np.ndarray, freqs: np.ndarray, alpha: int):
 
 
 def mtf_selectors(selectors: np.ndarray, table_count: int) -> np.ndarray:
+    from ..native import mtf_selectors_native
+
+    nat = mtf_selectors_native(np.asarray(selectors))
+    if nat is not None:
+        return nat
     idx = list(range(6))
     out = np.empty(selectors.size, dtype=np.int64)
     for i, s in enumerate(np.asarray(selectors, dtype=np.int64)):
@@ -368,9 +373,9 @@ def huffman_emit(
     nsel = selectors.size
     log.debug("selector count %d written at bit %d", nsel, acc.bit_len)
     acc.put(nsel, 15)
-    # selectors: MTF + unary
-    for m in mtf_selectors(selectors, table_count):
-        acc.put(((1 << int(m)) - 1) << 1, int(m) + 1)  # m ones then a zero
+    # selectors: MTF + unary (m ones then a zero), vectorized
+    m = mtf_selectors(selectors, table_count)
+    acc.extend(((1 << m) - 1) << 1, m + 1)
     # per-table code lengths: 5-bit origin, then delta per symbol
     codes = np.zeros((table_count, alpha), dtype=np.int64)
     for t in range(table_count):

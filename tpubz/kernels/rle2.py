@@ -53,22 +53,40 @@ def rle2_encode(
     tail_run = n - 1 - last_valid_nz
     tail_d = num_digits(tail_run)
 
-    syms = jnp.zeros(OUT, jnp.uint16)
-    lit_pos = jnp.where(nonzero, off + d, OUT - 1)
-    syms = syms.at[lit_pos].set(
-        jnp.where(nonzero, ranks + 1, 0).astype(jnp.uint16), mode="drop"
-    )
-    for j in range(MAX_DIGITS):
-        digit = ((run_before + 1) >> j) & 1
-        pos = jnp.where(nonzero & (j < d), off + j, OUT - 1)
-        syms = syms.at[pos].set(digit.astype(jnp.uint16), mode="drop")
-    for j in range(MAX_DIGITS):
-        digit = ((tail_run + 1) >> j) & 1
-        pos = jnp.where(j < tail_d, total_body + j, OUT - 1)
-        syms = syms.at[pos].set(digit.astype(jnp.uint16), mode="drop")
-    rle2_len = total_body + tail_d + 1
-    syms = syms.at[total_body + tail_d].set(eob.astype(jnp.uint16))
+    # Inverse mapping instead of per-digit scatters: for each output slot k,
+    # find its source position via a marker-cumsum (emitters mark their
+    # exclusive output offset; cumsum-1 indexes the covering emitter), then
+    # compute the symbol from (k - off[src]) in closed form.
     out_idx = jnp.arange(OUT, dtype=jnp.int32)
+    marker = jnp.zeros(OUT, jnp.int32).at[jnp.where(nonzero, off, OUT)].add(
+        1, mode="drop"
+    )
+    # dense emitter id per output slot (1-based; 0 = before first emitter)
+    dense = jnp.cumsum(marker)
+    # map dense emitter id -> (off, d, run, rank) via scatter of emitter data
+    nz_rank = jnp.cumsum(nonzero.astype(jnp.int32))  # dense id at each pos
+    slot = jnp.where(nonzero, nz_rank - 1, N)  # emitter's dense index
+    e_off = jnp.zeros(N + 1, jnp.int32).at[slot].set(off, mode="drop")
+    e_d = jnp.zeros(N + 1, jnp.int32).at[slot].set(d, mode="drop")
+    e_run = jnp.zeros(N + 1, jnp.int32).at[slot].set(run_before, mode="drop")
+    e_lit = jnp.zeros(N + 1, jnp.int32).at[slot].set(ranks + 1, mode="drop")
+    src = jnp.clip(dense - 1, 0, N)
+    k_off = out_idx - e_off[src]
+    body_sym = jnp.where(
+        k_off < e_d[src],
+        ((e_run[src] + 1) >> jnp.clip(k_off, 0, 31)) & 1,
+        e_lit[src],
+    )
+    # slots at/after total_body: tail digits then EOB
+    tail_j = out_idx - total_body
+    tail_sym = jnp.where(
+        tail_j < tail_d,
+        ((tail_run + 1) >> jnp.clip(tail_j, 0, 31)) & 1,
+        eob,
+    )
+    in_body = (out_idx < total_body) & (dense > 0)
+    syms = jnp.where(in_body, body_sym, tail_sym).astype(jnp.uint16)
+    rle2_len = total_body + tail_d + 1
     freqs = (
         jnp.zeros(258, jnp.int32)
         .at[jnp.where(out_idx < rle2_len, syms.astype(jnp.int32), 258)]

@@ -20,7 +20,7 @@ _LOCK = threading.Lock()
 _LIB = None
 _LIB_FAILED = False
 
-_SOURCES = ["refine.cpp", "rle1.cpp", "decode.cpp"]
+_SOURCES = ["refine.cpp", "rle1.cpp", "decode.cpp", "pack.cpp"]
 
 
 def _build() -> str | None:
@@ -63,6 +63,15 @@ def get_lib():
                 ctypes.c_int32,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ]
+            lib.tpubz_mtf_selectors.restype = None
+            lib.tpubz_mtf_selectors.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ]
+            lib.tpubz_pack_bits.restype = ctypes.c_int64
+            lib.tpubz_pack_bits.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ]
             lib.tpubz_rle1_split.restype = ctypes.c_int64
             lib.tpubz_rle1_split.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
@@ -85,6 +94,34 @@ def get_lib():
         except Exception:
             _LIB_FAILED = True
         return _LIB
+
+
+def mtf_selectors_native(selectors: np.ndarray):
+    lib = get_lib()
+    if lib is None:
+        return None
+    sel = np.ascontiguousarray(selectors, dtype=np.int32)
+    out = np.zeros(sel.size, dtype=np.int32)
+    lib.tpubz_mtf_selectors(sel.ctypes.data, sel.size, out.ctypes.data)
+    return out.astype(np.int64)
+
+
+def pack_bits_native(vals: np.ndarray, bits: np.ndarray):
+    """Pack (vals, bits) fields MSB-first. Returns bytes or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    vals = np.ascontiguousarray(vals, dtype=np.uint32)
+    bits = np.ascontiguousarray(bits, dtype=np.int64)
+    cap = int(bits.sum()) // 8 + 16
+    out = np.empty(cap, dtype=np.uint8)
+    total = np.zeros(1, dtype=np.int64)
+    nbytes = lib.tpubz_pack_bits(
+        vals.ctypes.data, bits.ctypes.data, vals.size,
+        out.ctypes.data, cap, total.ctypes.data,
+    )
+    assert nbytes >= 0, "pack capacity underestimated"
+    return out[:nbytes].tobytes()
 
 
 def rle1_split_native(data: np.ndarray, budget: int):
@@ -147,7 +184,19 @@ def decode_block_native(data: np.ndarray, start_bit: int, level: int):
         end_bit.ctypes.data, blk_crc.ctypes.data, comp_crc.ctypes.data,
     )
     if rc < 0:
-        raise ValueError(f"native block decode failed (code {rc})")
+        reasons = {
+            -1: "bitstream exhausted (truncated block)",
+            -2: "invalid BWT key pointer",
+            -3: "invalid Huffman table count",
+            -4: "selector out of range",
+            -5: "invalid code length",
+            -6: "invalid Huffman code in payload",
+            -7: "RLE2 output exceeds block size",
+            -8: "zero-run bomb in RLE2 stream",
+            -9: "RLE1 expansion exceeds output capacity",
+            -10: "ran out of selectors before EOB",
+        }
+        raise ValueError(reasons.get(int(rc), f"block decode failed ({rc})"))
     return out[:rc].copy(), int(end_bit[0]), int(blk_crc[0]), int(comp_crc[0])
 
 

@@ -223,3 +223,18 @@ extern "C" int64_t tpubz_refine_stream(const uint16_t* syms, int64_t rle2_len,
       out_lengths[(int64_t)t * alpha + s] = best_lens[t][s];
   return best_bits;
 }
+
+// Selector MTF transform (encode side): selectors -> MTF indices
+// (reference src/huffman_coding/huffman.rs:237-275).
+extern "C" void tpubz_mtf_selectors(const int32_t* sel, int64_t n,
+                                    int32_t* out) {
+  int idx[kMaxGroups] = {0, 1, 2, 3, 4, 5};
+  for (int64_t i = 0; i < n; i++) {
+    int v = sel[i];
+    int r = 0;
+    while (idx[r] != v) r++;
+    out[i] = r;
+    for (int m = r; m > 0; m--) idx[m] = idx[m - 1];
+    idx[0] = v;
+  }
+}

@@ -26,33 +26,11 @@ from ..hostref.rle1 import rle1_blocks
 
 WINDOW = int(os.environ.get("TPUBZ_WINDOW", "16"))
 
-_setup_done = False
-
-
-def _setup_jax():
-    """Persistent compilation cache: first-compile of the 900k transforms is
-    expensive (tens of seconds); cache them across processes."""
-    global _setup_done
-    if _setup_done:
-        return
-    import jax
-
-    cache_dir = os.environ.get("TPUBZ_JAX_CACHE", "/root/.jax_cache")
-    try:
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
-    except Exception:
-        pass
-    _setup_done = True
-
-
 _encoders: dict[int, object] = {}
 
 
 def _encoder(level: int):
     if level not in _encoders:
-        _setup_jax()
         from ..block.encode import DeviceBlockEncoder
 
         _encoders[level] = DeviceBlockEncoder(level)
