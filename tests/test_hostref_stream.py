@@ -71,3 +71,17 @@ def test_corrupt_rejection(rng):
     c[len(c) // 2] ^= 0x10
     with pytest.raises((ValueError, EOFError)):
         decompress(bytes(c))
+
+
+def test_streaming_matches_in_memory(rng, sys_bunzip2, monkeypatch):
+    import io
+
+    import tpubz.stream.files as F
+
+    monkeypatch.setattr(F, "WINDOW_BYTES", 250_000)
+    d = bytes(rng.integers(0, 50, 900_000, dtype=np.uint8))
+    buf = io.BytesIO()
+    F.compress_stream(io.BytesIO(d), buf, 1)
+    c = buf.getvalue()
+    assert c == compress(d, 1)  # prefix-stable split -> identical stream
+    assert sys_bunzip2(c) == d

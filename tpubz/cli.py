@@ -199,6 +199,24 @@ def run(argv: list[str], prog: str = "tpubz") -> int:
     rc = 0
     for fname in o.files:
         try:
+            if o.mode == "zip" and not o.stdout:
+                # streaming path: bounded memory for arbitrarily large files
+                out_name = fname + ".bz2"
+                if os.path.exists(out_name) and not o.force:
+                    print(
+                        f"tpubz: output file {out_name} already exists "
+                        "(use -f to overwrite)",
+                        file=sys.stderr,
+                    )
+                    rc = 1
+                    continue
+                from .stream.files import compress_file
+
+                compress_file(fname, out_name, o.level)
+                _log(o, 1, f"{fname} -> {out_name}")
+                if not o.keep:
+                    os.unlink(fname)
+                continue
             with open(fname, "rb") as f:
                 data = f.read()
             if o.mode == "zip":

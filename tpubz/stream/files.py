@@ -1,0 +1,117 @@
+"""Streaming file compression: bounded memory for arbitrarily large inputs.
+
+Greedy block splitting is prefix-stable: a block's boundary depends only on
+bytes before it. So the stream compressor reads a window, emits every
+complete block except the last, and carries the tail (plus any run that
+could extend across the boundary) into the next window. The .bz2 stream is
+written incrementally with the same bit-splice semantics as the in-memory
+path (header first, blocks at bit granularity, footer + stream CRC last).
+"""
+from __future__ import annotations
+
+import io
+import os
+
+import numpy as np
+
+from ..format.constants import FOOTER_MAGIC, STREAM_MAGIC, block_budget
+from ..format.crc import block_crc, stream_crc_fold
+from ..hostref.bitio import BitAccum, pack_bits
+from ..hostref.rle1 import rle1_blocks
+
+WINDOW_BYTES = int(os.environ.get("TPUBZ_STREAM_WINDOW", str(32 * 1024 * 1024)))
+
+
+class _BitSink:
+    """Incremental MSB-first bit writer to a byte stream."""
+
+    def __init__(self, fout):
+        self.fout = fout
+        self._rem_val = 0  # pending bits (< 8)
+        self._rem_bits = 0
+        self.total_bits = 0
+
+    def write_fields(self, vals: np.ndarray, bits: np.ndarray) -> None:
+        acc = BitAccum()
+        if self._rem_bits:
+            acc.put(self._rem_val, self._rem_bits)
+        acc.extend(np.asarray(vals, np.uint32), np.asarray(bits, np.int64))
+        payload, nbits = acc.pack()
+        self.total_bits += int(bits.sum())
+        full = nbits // 8
+        rem = nbits - full * 8
+        data = np.frombuffer(payload, np.uint8)
+        self.fout.write(data[:full].tobytes())
+        self._rem_val = (int(data[full]) >> (8 - rem)) if rem else 0
+        self._rem_bits = rem
+
+    def close(self) -> None:
+        if self._rem_bits:
+            self.fout.write(bytes([(self._rem_val << (8 - self._rem_bits)) & 0xFF]))
+            self._rem_bits = 0
+
+
+def compress_stream(fin: io.RawIOBase, fout: io.RawIOBase, level: int = 9) -> int:
+    """Compress a binary stream to a .bz2 stream. Returns bytes written-ish
+    (total output bits // 8 rounded up)."""
+    if not 1 <= level <= 9:
+        raise ValueError("level must be 1..9")
+    from .api import _encoder
+    from ..block.encode import DeviceBlockEncoder
+
+    enc = _encoder(level)
+    sink = _BitSink(fout)
+    header = BitAccum()
+    for b in STREAM_MAGIC:
+        header.put(b, 8)
+    header.put(0x30 + level, 8)
+    sink.write_fields(*header.arrays())
+
+    s_crc = 0
+    carry = np.zeros(0, np.uint8)
+    budget = block_budget(level)
+    eof = False
+    wrote_block = False
+    while not eof or carry.size:
+        chunk = fin.read(WINDOW_BYTES) if not eof else b""
+        if not chunk:
+            eof = True
+        data = (
+            np.concatenate((carry, np.frombuffer(chunk, np.uint8)))
+            if chunk
+            else carry
+        )
+        if data.size == 0:
+            break
+        out, blocks = rle1_blocks(data, budget)
+        if not eof and len(blocks) > 1:
+            # keep all complete blocks; the last block may still grow, so it
+            # becomes the next window's carry. This is prefix-stable: greedy
+            # block cuts (including cuts at 255-segment boundaries inside
+            # long runs) depend only on bytes to their left.
+            keep = blocks[:-1]
+            carry = data[blocks[-1][2] :].copy()
+        elif not eof:
+            # fewer than 2 blocks: need more data
+            carry = data
+            continue
+        else:
+            keep = blocks
+            carry = np.zeros(0, np.uint8)
+        for (o0, o1, i0, i1) in keep:
+            crc = block_crc(data[i0:i1])
+            s_crc = stream_crc_fold(s_crc, crc)
+            blk = enc.encode_block(out[o0:o1], crc)
+            sink.write_fields(*blk.arrays())
+            wrote_block = True
+    footer = BitAccum()
+    footer.put(FOOTER_MAGIC, 48)
+    footer.put(s_crc, 32)
+    sink.write_fields(*footer.arrays())
+    sink.close()
+    return (sink.total_bits + 7) // 8
+
+
+def compress_file(src: str, dst: str, level: int = 9) -> None:
+    with open(src, "rb") as fin, open(dst, "wb") as fout:
+        compress_stream(fin, fout, level)
