@@ -47,8 +47,9 @@ def main():
     level = 9
     corpus = build_corpus(int(os.environ.get("TPUBZ_BENCH_MB", "8")))
     from tpubz.stream.api import compress
+    from tpubz.stream.decode import decompress
 
-    # warm up compiles on a small prefix
+    # warm up compiles on a small prefix (shapes are level-determined)
     compress(corpus[: 64 * 1024], level)
     t0 = time.time()
     out = compress(corpus, level)
@@ -57,6 +58,15 @@ def main():
     # validate through system bunzip2
     p = subprocess.run(["bunzip2", "-c"], input=out, capture_output=True)
     ok = p.returncode == 0 and p.stdout == corpus
+    # decode throughput (native thread-parallel block decode)
+    t0 = time.time()
+    back = decompress(out)
+    ddt = time.time() - t0
+    ok = ok and back == corpus
+    # size check vs reference C bzip2
+    ref = subprocess.run(
+        ["bzip2", "-9", "-c"], input=corpus, capture_output=True
+    ).stdout
     ratio = len(out) / len(corpus)
     result = {
         "metric": "encode_GBps_mixed_-9_1chip",
@@ -65,6 +75,8 @@ def main():
         "vs_baseline": round(gbps / PER_CHIP_TARGET, 4),
         "corpus_mb": len(corpus) // (1024 * 1024),
         "compressed_ratio": round(ratio, 4),
+        "size_vs_c_bzip2": round(len(out) / max(len(ref), 1), 6),
+        "decode_MBps": round(len(corpus) / ddt / 1e6, 2),
         "roundtrip_ok": ok,
     }
     print(json.dumps(result))
