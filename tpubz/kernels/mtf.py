@@ -66,7 +66,7 @@ def _lookup_by_sort(table_vals, qkeys, nkeys):
 
 
 def mtf_ranks(
-    last: jnp.ndarray, n: jnp.ndarray, chunk: int = 256
+    last: jnp.ndarray, n: jnp.ndarray, chunk: int = 256, use_pallas: bool = False
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """last: uint8[N] BWT output (first n valid; N % chunk == 0).
 
@@ -129,6 +129,13 @@ def mtf_ranks(
     )
     lfirst = lprev < 0
 
+    if use_pallas:
+        # VMEM-streamed dominance kernel: no HBM-materialized C^2 tensors
+        from .mtf_pallas import dominance_ranks
+
+        group = 4 if nc % 4 == 0 else 1
+        ranks = dominance_ranks(lprev, lnext, srank, group=group)
+        return ranks.reshape(N), used
     li = jnp.arange(chunk, dtype=jnp.int32)
     ii = li[None, :, None]  # row: position i
     jj = li[None, None, :]  # col: candidate j
