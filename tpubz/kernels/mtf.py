@@ -133,8 +133,7 @@ def mtf_ranks(
         # VMEM-streamed dominance kernel: no HBM-materialized C^2 tensors
         from .mtf_pallas import dominance_ranks
 
-        group = 4 if nc % 4 == 0 else 1
-        ranks = dominance_ranks(lprev, lnext, srank, group=group)
+        ranks = dominance_ranks(lprev, lnext, srank, group=8)
         return ranks.reshape(N), used
     li = jnp.arange(chunk, dtype=jnp.int32)
     ii = li[None, :, None]  # row: position i

@@ -27,27 +27,43 @@ def _kernel(lprev_ref, lnext_ref, srank_ref, out_ref):
     G, C = lp.shape
     ii = jax.lax.broadcasted_iota(jnp.int32, (G, C, C), 1)  # row: position i
     jj = jax.lax.broadcasted_iota(jnp.int32, (G, C, C), 2)  # col: candidate j
-    before = jj < ii
-    case1 = (jj > lp[:, :, None]) & (ln[:, None, :] >= ii)
-    case2 = (lp[:, None, :] < 0) & (sr[:, None, :] >= sr[:, :, None])
-    has_prev = (lp >= 0)[:, :, None]
-    mat = before & jnp.where(has_prev, case1, case2)
-    counts = jnp.sum(mat.astype(jnp.int32), axis=-1)
+    # Mosaic constraints: insert minor dims on int32 operands (not i1), and
+    # select on int32 values (select_n on i1 vectors fails to lower) — so
+    # masks are materialized as 0/1 int32 and combined by multiply.
+    before = (jj < ii).astype(jnp.int32)
+    case1 = ((jj > lp[:, :, None]) & (ln[:, None, :] >= ii)).astype(jnp.int32)
+    case2 = (
+        (lp[:, None, :] < 0) & (sr[:, None, :] >= sr[:, :, None])
+    ).astype(jnp.int32)
+    has_prev = lp[:, :, None] >= 0
+    mat = before * jnp.where(has_prev, case1, case2)
+    counts = jnp.sum(mat, axis=-1)
     lfirst = lp < 0
     out_ref[:] = counts + jnp.where(lfirst, sr, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("group",))
 def dominance_ranks(lprev, lnext, srank, group: int = 8):
-    """(nc, C) int32 inputs -> (nc, C) int32 MTF ranks."""
+    """(nc, C) int32 inputs -> (nc, C) int32 MTF ranks.
+
+    Mosaic requires the block sublane dim divisible by 8; chunk rows are
+    padded up to the group multiple (pad rows compute garbage, sliced off).
+    """
     nc, C = lprev.shape
-    assert nc % group == 0, "nc must be a multiple of the chunk group"
-    grid = (nc // group,)
+    pad = (-nc) % group
+    if pad:
+        zrow = jnp.zeros((pad, C), jnp.int32)
+        lprev = jnp.concatenate((lprev, zrow - 1))
+        lnext = jnp.concatenate((lnext, zrow))
+        srank = jnp.concatenate((srank, zrow))
+    npad = nc + pad
+    grid = (npad // group,)
     spec = pl.BlockSpec((group, C), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _kernel,
-        out_shape=jax.ShapeDtypeStruct((nc, C), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((npad, C), jnp.int32),
         grid=grid,
         in_specs=[spec, spec, spec],
         out_specs=spec,
     )(lprev, lnext, srank)
+    return out[:nc]

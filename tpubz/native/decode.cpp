@@ -173,11 +173,23 @@ extern "C" int64_t tpubz_decode_block(
     build_decode_table(lens, alpha, &tables[t]);
   }
   if (!br.ok) return -1;
-  // payload: canonical Huffman decode until EOB, fused with RLE2+MTF undo
+  // payload: canonical Huffman decode until EOB, fused with RLE2+MTF undo.
+  // One <=20-bit peek per symbol (byte-aligned 64-bit window load), then
+  // per-level shift/compare — no bit-by-bit reads.
   int64_t max_size = (int64_t)level * 100000;
   std::vector<uint8_t> mtf_out((size_t)max_size);
   uint8_t mtf[256];
   std::memcpy(mtf, symbol_set, nsyms);
+  const int64_t nbytes_total = (nbits + 7) >> 3;
+  auto peek = [&](int64_t bitpos, int n) -> int64_t {
+    int64_t idx = bitpos >> 3;
+    uint64_t acc = 0;
+    for (int k = 0; k < 8; k++) {
+      acc <<= 8;
+      if (idx + k < nbytes_total) acc |= data[idx + k];
+    }
+    return (int64_t)((acc >> (64 - (bitpos & 7) - n)) & ((1ll << n) - 1));
+  };
   int64_t pos = 0;
   int64_t zeros = 0;
   int64_t bit_mult = 1;
@@ -192,14 +204,18 @@ extern "C" int64_t tpubz_decode_block(
       g_left = kGroupSize;
     }
     g_left--;
+    const int maxl = T->max_len;
+    if (br.pos + T->min_len > nbits) return -1;
+    int64_t window = peek(br.pos, maxl);  // may peek past valid bits (zeros)
     int l = T->min_len;
-    int64_t code = (int64_t)br.read(l);
+    int64_t code = window >> (maxl - l);
     while (code > T->limit[l]) {
-      if (l >= T->max_len || !br.ok) return br.ok ? -6 : -1;
-      code = (code << 1) | br.bit();
+      if (l >= maxl) return -6;
       l++;
+      code = window >> (maxl - l);
     }
-    if (!br.ok) return -1;
+    if (br.pos + l > nbits) return -1;
+    br.pos += l;
     int sym = T->syms[T->off[l] + code - T->base[l]];
     if (sym <= 1) {  // RUNA / RUNB
       zeros += bit_mult * (sym + 1);
