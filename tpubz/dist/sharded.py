@@ -11,12 +11,10 @@ to host 0 in block order.
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..kernels.mtf import mtf_ranks
 from ..kernels.rle2 import rle2_encode

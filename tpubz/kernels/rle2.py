@@ -8,8 +8,9 @@ floor(log2(L+1)) digits); literal rank r >= 1 becomes symbol r+1; EOB
 
 Vectorized: zero-run length before each nonzero position via a prefix-max of
 last-nonzero indices, per-position emission counts, exclusive cumsum for
-output offsets, then one scatter for literals plus MAX_DIGITS masked scatters
-for run digits.
+output offsets, then an inverse mapping — emitters stamp their payload at
+their output offset and forward-fill cumscans give every output slot its
+symbol in closed form (gather- and loop-free).
 """
 from __future__ import annotations
 
@@ -53,29 +54,36 @@ def rle2_encode(
     tail_run = n - 1 - last_valid_nz
     tail_d = num_digits(tail_run)
 
-    # Inverse mapping instead of per-digit scatters: for each output slot k,
-    # find its source position via a marker-cumsum (emitters mark their
-    # exclusive output offset; cumsum-1 indexes the covering emitter), then
-    # compute the symbol from (k - off[src]) in closed form.
+    # Inverse mapping instead of per-digit scatters: each emitter scatters
+    # its payload to its exclusive output offset; forward-fill cumscans
+    # (gather-free — gathers are slow on this backend) then give every
+    # output slot its covering emitter's (off, digits, run, literal), and
+    # the symbol follows in closed form from (k - off).
     out_idx = jnp.arange(OUT, dtype=jnp.int32)
-    marker = jnp.zeros(OUT, jnp.int32).at[jnp.where(nonzero, off, OUT)].add(
-        1, mode="drop"
-    )
-    # dense emitter id per output slot (1-based; 0 = before first emitter)
-    dense = jnp.cumsum(marker)
-    # map dense emitter id -> (off, d, run, rank) via scatter of emitter data
-    nz_rank = jnp.cumsum(nonzero.astype(jnp.int32))  # dense id at each pos
-    slot = jnp.where(nonzero, nz_rank - 1, N)  # emitter's dense index
-    e_off = jnp.zeros(N + 1, jnp.int32).at[slot].set(off, mode="drop")
-    e_d = jnp.zeros(N + 1, jnp.int32).at[slot].set(d, mode="drop")
-    e_run = jnp.zeros(N + 1, jnp.int32).at[slot].set(run_before, mode="drop")
-    e_lit = jnp.zeros(N + 1, jnp.int32).at[slot].set(ranks + 1, mode="drop")
-    src = jnp.clip(dense - 1, 0, N)
-    k_off = out_idx - e_off[src]
+    tgt = jnp.where(nonzero, off, OUT)
+    run1 = run_before + 1
+
+    # forward-fill helper: each emitter stamps (off << width | value) at its
+    # slot (slot index == off, strictly increasing), so a plain cummax
+    # propagates the latest emitter's value to every later slot. off < 2^20,
+    # so each value must fit in <= 11 bits — wider fields are split.
+    def fill(values, width):
+        stamped = jnp.full(OUT, -1, jnp.int32).at[tgt].set(
+            (off << width) | values, mode="drop"
+        )
+        return jax.lax.associative_scan(jnp.maximum, stamped)
+
+    e_off_f = fill(jnp.zeros_like(off), 0)  # carries off itself
+    e_d_f = fill(d, 5) & ((1 << 5) - 1)
+    e_lit_f = fill(ranks + 1, 9) & ((1 << 9) - 1)
+    rhi_f = fill(run1 >> 10, 11) & ((1 << 11) - 1)
+    rlo_f = fill(run1 & 1023, 10) & ((1 << 10) - 1)
+    run1_f = (rhi_f << 10) | rlo_f
+    k_off = out_idx - e_off_f
     body_sym = jnp.where(
-        k_off < e_d[src],
-        ((e_run[src] + 1) >> jnp.clip(k_off, 0, 31)) & 1,
-        e_lit[src],
+        k_off < e_d_f,
+        (run1_f >> jnp.clip(k_off, 0, 31)) & 1,
+        e_lit_f,
     )
     # slots at/after total_body: tail digits then EOB
     tail_j = out_idx - total_body
@@ -84,7 +92,7 @@ def rle2_encode(
         ((tail_run + 1) >> jnp.clip(tail_j, 0, 31)) & 1,
         eob,
     )
-    in_body = (out_idx < total_body) & (dense > 0)
+    in_body = (out_idx < total_body) & (e_off_f >= 0)
     syms = jnp.where(in_body, body_sym, tail_sym).astype(jnp.uint16)
     rle2_len = total_body + tail_d + 1
     freqs = (

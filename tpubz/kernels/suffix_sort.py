@@ -65,10 +65,16 @@ def bwt_forward(data: jnp.ndarray, n: jnp.ndarray) -> tuple[jnp.ndarray, jnp.nda
 
     def body(i, carry):
         rank, k, done = carry
-        new_rank = one_round(rank, k)
-        done2 = done | jnp.all(new_rank == rank)
-        out = jnp.where(done, rank, new_rank)
-        return out, k * 2, done2
+        # converged rounds skip the sorts entirely (XLA lowers lax.cond to a
+        # real branch); typical blocks converge well before ROUNDS
+        def live(rank):
+            new_rank = one_round(rank, k)
+            return new_rank, jnp.all(new_rank == rank)
+
+        new_rank, same = jax.lax.cond(
+            done, lambda r: (r, jnp.bool_(True)), live, rank
+        )
+        return new_rank, k * 2, done | same
 
     rank, _, _ = jax.lax.fori_loop(
         0, ROUNDS, body, (rank, jnp.int32(2), n < 0)
