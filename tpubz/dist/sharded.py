@@ -28,7 +28,7 @@ def block_mesh(devices=None, axis: str = "blocks") -> Mesh:
 
 
 def _transform_one(data, n):
-    key, last = bwt_forward(data, n)
+    key, last = bwt_forward(data, n, skip_converged=False)
     ranks, used = mtf_ranks(last, n, chunk=MTF_CHUNK)
     eob = jnp.sum(used).astype(jnp.int32) + 1
     syms, rle2_len, freqs = rle2_encode(ranks, n, eob)

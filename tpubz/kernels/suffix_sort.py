@@ -27,11 +27,18 @@ ROUNDS = 21  # ceil(log2(900k)) + 1; rank refinement is monotone and frozen
              # via `done` once it reaches fixpoint
 
 
-def bwt_forward(data: jnp.ndarray, n: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+def bwt_forward(
+    data: jnp.ndarray, n: jnp.ndarray, skip_converged: bool = True
+) -> tuple[jnp.ndarray, jnp.ndarray]:
     """data: uint8[N] (first n valid). Returns (key, last uint8[N]).
 
     last[i] for i < n is the BWT last column; key is rotation 0's sorted
     position. Padded output lanes are zero.
+
+    skip_converged=True wraps each doubling round in lax.cond so converged
+    blocks stop paying for sorts — only valid for a single block per trace
+    (under vmap/shard_map cond degenerates to select / trips axis-variance
+    checks, so the batched paths pass False and freeze via where instead).
     """
     N = data.shape[0]
     n = jnp.asarray(n, jnp.int32)
@@ -65,16 +72,15 @@ def bwt_forward(data: jnp.ndarray, n: jnp.ndarray) -> tuple[jnp.ndarray, jnp.nda
 
     def body(i, carry):
         rank, k, done = carry
-        # converged rounds skip the sorts entirely (XLA lowers lax.cond to a
-        # real branch); typical blocks converge well before ROUNDS
-        def live(rank):
-            new_rank = one_round(rank, k)
-            return new_rank, jnp.all(new_rank == rank)
-
-        new_rank, same = jax.lax.cond(
-            done, lambda r: (r, jnp.bool_(True)), live, rank
-        )
-        return new_rank, k * 2, done | same
+        if skip_converged:
+            # converged rounds skip the sorts entirely (real HLO branch)
+            new_rank = jax.lax.cond(
+                done, lambda r: r, lambda r: one_round(r, k), rank
+            )
+        else:
+            new_rank = jnp.where(done, rank, one_round(rank, k))
+        done2 = done | jnp.all(new_rank == rank)
+        return new_rank, k * 2, done2
 
     rank, _, _ = jax.lax.fori_loop(
         0, ROUNDS, body, (rank, jnp.int32(2), n < 0)

@@ -59,11 +59,14 @@ def compress(data: bytes | np.ndarray, level: int = 9) -> bytes:
     def drain_one():
         nonlocal s_crc
         (i0, i1), fut = inflight.popleft()
-        key, syms, rle2_len, freqs, used = (np.asarray(x) for x in fut)
+        from ..block.encode import materialize_syms
+
+        key, _, rle2_len, freqs, used = fut[:5]
+        syms = materialize_syms(fut)
         crc = block_crc(arr[i0:i1])
         s_crc = stream_crc_fold(s_crc, crc)
         blk = DeviceBlockEncoder.emit_block(
-            int(key), syms, int(rle2_len), freqs, used, crc
+            int(key), syms, int(rle2_len), np.asarray(freqs), np.asarray(used), crc
         )
         vals, bits = blk.arrays()
         acc.extend(vals, bits)
