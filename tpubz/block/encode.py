@@ -104,19 +104,29 @@ def _transform(data, n):
     return key, syms, rle2_len, freqs, used, syms_u8, hi_packed, hi_count
 
 
-def materialize_syms(out) -> np.ndarray:
-    """Transfer the RLE2 symbol stream from a _transform result using the
-    compact u8 + sidecar form (JAX arrays transfer lazily, so the full u16
-    array is only pulled on sidecar overflow)."""
+def materialize(out):
+    """Fetch everything the host needs from a _transform result in ONE
+    device_get (each separate fetch pays a full relay round trip, ~tens of
+    ms): returns (key, syms u16, rle2_len, freqs, used). The symbol stream
+    travels in the compact u8 + sidecar form; the full u16 array is only
+    pulled on sidecar overflow (rare)."""
     key, syms, rle2_len, freqs, used, syms_u8, hi_packed, hi_count = out
-    hc = int(hi_count)
+    key, rle2_len, freqs, used, syms_u8, hi_packed, hc = jax.device_get(
+        (key, rle2_len, freqs, used, syms_u8, hi_packed, hi_count)
+    )
+    hc = int(hc)
     if hc > HI_CAP:
-        return np.asarray(syms)
-    s = np.asarray(syms_u8).astype(np.uint16)
-    if hc:
-        packed = np.asarray(hi_packed)[:hc]
-        s[packed >> 1] = 256 + (packed & 1)
-    return s
+        s = np.asarray(syms)
+    else:
+        s = syms_u8.astype(np.uint16)
+        if hc:
+            packed = hi_packed[:hc]
+            s[packed >> 1] = 256 + (packed & 1)
+    return int(key), s, int(rle2_len), freqs, used
+
+
+def materialize_syms(out) -> np.ndarray:
+    return materialize(out)[1]
 
 
 class DeviceBlockEncoder:
@@ -134,16 +144,8 @@ class DeviceBlockEncoder:
         return _transform(jnp.asarray(pad), jnp.int32(rle1_block.size))
 
     def encode_block(self, rle1_block: np.ndarray, crc: int) -> BitAccum:
-        out = self.transform(rle1_block)
-        key, _, rle2_len, freqs, used = out[:5]
-        return self.emit_block(
-            int(key),
-            materialize_syms(out),
-            int(rle2_len),
-            np.asarray(freqs),
-            np.asarray(used),
-            crc,
-        )
+        key, syms, rle2_len, freqs, used = materialize(self.transform(rle1_block))
+        return self.emit_block(key, syms, rle2_len, freqs, used, crc)
 
     @staticmethod
     def emit_block(key, syms, rle2_len, freqs, used, crc) -> BitAccum:

@@ -25,7 +25,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-ABSENT = jnp.int32(256)
+ABSENT = 256  # plain int: no backend init at import time
 
 
 def _rank_by_key(key):

@@ -29,11 +29,33 @@ WINDOW = int(os.environ.get("TPUBZ_WINDOW", "16"))
 _encoders: dict[int, object] = {}
 
 
+class _HostFallbackEncoder:
+    """Drop-in for DeviceBlockEncoder when no accelerator backend can
+    initialize (e.g. the TPU is claimed by another process): runs the host
+    reference block pipeline, preserving the same output bytes."""
+
+    def __init__(self, level: int):
+        self.level = level
+
+    def encode_block(self, rle1_block, crc):
+        from ..hostref.block import encode_block
+
+        return encode_block(rle1_block, crc)
+
+
 def _encoder(level: int):
     if level not in _encoders:
-        from ..block.encode import DeviceBlockEncoder
+        try:
+            from ..block.encode import DeviceBlockEncoder
 
-        _encoders[level] = DeviceBlockEncoder(level)
+            enc = DeviceBlockEncoder(level)
+            # force backend init now so failure falls back cleanly
+            import jax
+
+            jax.devices()
+            _encoders[level] = enc
+        except Exception:
+            _encoders[level] = _HostFallbackEncoder(level)
     return _encoders[level]
 
 
@@ -46,7 +68,9 @@ def compress(data: bytes | np.ndarray, level: int = 9) -> bytes:
         else np.asarray(data, dtype=np.uint8)
     )
     enc = _encoder(level)
-    from ..block.encode import DeviceBlockEncoder
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..block.encode import DeviceBlockEncoder, materialize
 
     acc = BitAccum()
     for b in STREAM_MAGIC:
@@ -55,28 +79,40 @@ def compress(data: bytes | np.ndarray, level: int = 9) -> bytes:
     out, blocks = rle1_blocks(arr, block_budget(level))
     s_crc = 0
     inflight: deque = deque()
+    # device->host fetches run on a side thread (device_get releases the
+    # GIL) so each block's transfer overlaps the previous block's emission
+    fetch_pool = ThreadPoolExecutor(2)
 
     def drain_one():
         nonlocal s_crc
-        (i0, i1), fut = inflight.popleft()
-        from ..block.encode import materialize_syms
-
-        key, _, rle2_len, freqs, used = fut[:5]
-        syms = materialize_syms(fut)
+        (i0, i1), mat_fut = inflight.popleft()
+        key, syms, rle2_len, freqs, used = mat_fut.result()
         crc = block_crc(arr[i0:i1])
         s_crc = stream_crc_fold(s_crc, crc)
         blk = DeviceBlockEncoder.emit_block(
-            int(key), syms, int(rle2_len), np.asarray(freqs), np.asarray(used), crc
+            key, syms, rle2_len, freqs, used, crc
         )
         vals, bits = blk.arrays()
         acc.extend(vals, bits)
 
-    for (o0, o1, i0, i1) in blocks:
-        inflight.append(((i0, i1), enc.transform(out[o0:o1])))
-        if len(inflight) >= WINDOW:
-            drain_one()
-    while inflight:
-        drain_one()
+    try:
+        if isinstance(enc, _HostFallbackEncoder):
+            for (o0, o1, i0, i1) in blocks:
+                crc = block_crc(arr[i0:i1])
+                s_crc = stream_crc_fold(s_crc, crc)
+                blk = enc.encode_block(out[o0:o1], crc)
+                vals, bits = blk.arrays()
+                acc.extend(vals, bits)
+        else:
+            for (o0, o1, i0, i1) in blocks:
+                fut = enc.transform(out[o0:o1])
+                inflight.append(((i0, i1), fetch_pool.submit(materialize, fut)))
+                if len(inflight) >= WINDOW:
+                    drain_one()
+            while inflight:
+                drain_one()
+    finally:
+        fetch_pool.shutdown(wait=False)
     acc.put(FOOTER_MAGIC, 48)
     acc.put(s_crc, 32)
     payload, _ = acc.pack()
