@@ -1,0 +1,45 @@
+"""Top-level API and CLI argument parsing."""
+import numpy as np
+import pytest
+
+import tpubz
+from tpubz.cli import parse_args
+
+
+def test_top_level_api(rng, sys_bunzip2):
+    d = bytes(rng.integers(0, 64, 50_000, dtype=np.uint8))
+    c = tpubz.compress(d, 1)
+    assert tpubz.decompress(c) == d
+    assert sys_bunzip2(c) == d
+
+
+def test_parse_combined_short_flags():
+    o = parse_args(["-v4k", "file.txt"])
+    assert o.verbosity == 1 and o.level == 4 and o.keep
+    assert o.files == ["file.txt"]
+
+
+def test_parse_long_flags_and_aliases():
+    o = parse_args(["--decompress", "--keep", "a.bz2", "--force"])
+    assert o.mode == "unzip" and o.keep and o.force
+    assert parse_args(["--fast"]).level == 1
+    assert parse_args(["--best"]).level == 9
+
+
+def test_parse_invoked_as():
+    assert parse_args([], prog="/usr/bin/bunzip2").mode == "unzip"
+    o = parse_args([], prog="bzcat")
+    assert o.mode == "unzip" and o.stdout
+    assert parse_args([], prog="tpubz").mode == "zip"
+
+
+def test_parse_rejects_unknown():
+    with pytest.raises(SystemExit):
+        parse_args(["--frobnicate"])
+    with pytest.raises(SystemExit):
+        parse_args(["-Z"])
+
+
+def test_verbosity_stacking():
+    assert parse_args(["-vvv"]).verbosity == 3
+    assert parse_args(["-v", "-v"]).verbosity == 2
