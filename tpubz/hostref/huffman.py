@@ -286,7 +286,8 @@ def refine_from_hist(
     def refine(tables, iters, lens_fn, track_best):
         selectors = np.zeros(nsel, dtype=np.int64)
         best = None
-        for _ in range(iters):
+        stale = 0
+        for it in range(iters):
             cost = chunk_hist @ tables[:table_count, :alpha].T  # (nsel, tc)
             selectors = np.argmin(cost, axis=1)
             for t in range(table_count):
@@ -296,6 +297,13 @@ def refine_from_hist(
                 total = _exact_bits(chunk_hist, selectors, tables, table_count, alpha, nsel)
                 if best is None or total < best[0]:
                     best = (total, selectors.copy(), tables[:, :alpha].copy())
+                    stale = 0
+                else:
+                    stale += 1
+                # adaptive stop: past the C-faithful 4 passes, quit once two
+                # consecutive passes stop improving the exact size
+                if it >= 3 and stale >= 2:
+                    break
         if not track_best:
             best = (
                 _exact_bits(chunk_hist, selectors, tables, table_count, alpha, nsel),

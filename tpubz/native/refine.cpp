@@ -177,6 +177,7 @@ extern "C" int64_t tpubz_refine_stream(const uint16_t* syms, int64_t rle2_len,
   int64_t best_bits = -1;
 
   std::vector<int64_t> rfreq((size_t)kMaxGroups * kMaxAlpha);
+  int stale = 0;
   for (int it = 0; it < iters; it++) {
     std::fill(rfreq.begin(), rfreq.end(), 0);
     for (int64_t c = 0; c < nsel; c++) {
@@ -215,7 +216,13 @@ extern "C" int64_t tpubz_refine_stream(const uint16_t* syms, int64_t rle2_len,
       best_bits = bits;
       best_sel = sel;
       std::memcpy(best_lens, lens, sizeof(lens));
+      stale = 0;
+    } else {
+      stale++;
     }
+    // adaptive stop: past the C-faithful 4 passes, quit once two
+    // consecutive passes stop improving the exact size
+    if (it >= 3 && stale >= 2) break;
   }
   for (int64_t c = 0; c < nsel; c++) out_selectors[c] = best_sel[c];
   for (int t = 0; t < kMaxGroups; t++)
