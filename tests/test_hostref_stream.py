@@ -85,3 +85,13 @@ def test_streaming_matches_in_memory(rng, sys_bunzip2, monkeypatch):
     c = buf.getvalue()
     assert c == compress(d, 1)  # prefix-stable split -> identical stream
     assert sys_bunzip2(c) == d
+
+
+def test_concatenated_streams_decode(rng, sys_bunzip2):
+    from tpubz.stream.decode import decompress as full_decompress
+
+    a = bytes(rng.integers(0, 64, 60_000, dtype=np.uint8))
+    b = b"hello multi-stream world" * 300
+    cat = compress(a, 1) + compress(b, 9)
+    assert full_decompress(cat) == a + b
+    assert sys_bunzip2(cat) == a + b

@@ -52,7 +52,23 @@ def find_magic_bit_offsets(data: bytes, magic: int = BLOCK_MAGIC) -> np.ndarray:
 
 
 def decompress(data: bytes) -> bytes:
-    """Decode a .bz2 stream, validating per-block and stream CRCs.
+    """Decode a .bz2 file, including concatenated streams (like bunzip2:
+    `cat a.bz2 b.bz2` decodes to the concatenation)."""
+    out = []
+    pos = 0
+    while pos < len(data):
+        chunk, consumed = _decompress_one(data[pos:])
+        out.append(chunk)
+        # streams are byte-padded; another stream may follow immediately
+        pos += consumed
+        if pos >= len(data) or data[pos : pos + 3] != b"BZh":
+            break
+    return b"".join(out)
+
+
+def _decompress_one(data: bytes) -> tuple[bytes, int]:
+    """Decode one .bz2 stream, validating per-block and stream CRCs.
+    Returns (raw bytes, bytes consumed incl. padding).
 
     Native path: all candidate block starts decode concurrently on a thread
     pool (the native decoder is GIL-free), then results are stitched in
@@ -99,6 +115,7 @@ def decompress(data: bytes) -> bytes:
                 raise ValueError(
                     f"stream CRC mismatch: stream says {stored:#010x}, got {s_crc:#010x}"
                 )
+            pos = first48.pos
             break
         if tag != BLOCK_MAGIC:
             raise ValueError("invalid block header magic")
@@ -117,7 +134,7 @@ def decompress(data: bytes) -> bytes:
         s_crc = stream_crc_fold(s_crc, blk_crc)
         parts.append(raw)
         pos = end_bit
-    return b"".join(p.tobytes() for p in parts)
+    return b"".join(p.tobytes() for p in parts), (pos + 7) // 8
 
 
 def split_blocks_for_parallel_decode(data: bytes) -> list[tuple[int, int]]:
