@@ -14,10 +14,13 @@ order — the ordered gather is just the drain order.
 """
 from __future__ import annotations
 
+import logging
 import os
 from collections import deque
 
 import numpy as np
+
+log = logging.getLogger("tpubz")
 
 from ..format.constants import FOOTER_MAGIC, STREAM_MAGIC, block_budget
 from ..format.crc import block_crc, stream_crc_fold
@@ -107,6 +110,9 @@ def compress(data: bytes | np.ndarray, level: int = 9) -> bytes:
             for (o0, o1, i0, i1) in blocks:
                 fut = enc.transform(out[o0:o1])
                 inflight.append(((i0, i1), fetch_pool.submit(materialize, fut)))
+                # queue-depth observability, mirroring the reference's RX
+                # queue logging (compress.rs:81-85)
+                log.debug("in-flight device blocks: %d", len(inflight))
                 if len(inflight) >= WINDOW:
                     drain_one()
             while inflight:
