@@ -13,6 +13,13 @@
 namespace {
 constexpr int kRunThreshold = 4;
 constexpr int kMaxRun = 255;
+
+// true iff a run of >= 4 equal bytes starts at p (single u32 compare)
+inline bool run4_at(const uint8_t* in, int64_t p) {
+  uint32_t w;
+  std::memcpy(&w, in + p, 4);
+  return w == (uint32_t)in[p] * 0x01010101u;
+}
 }
 
 // out cap must be >= n + n/254*1 + 8 (worst case 5 out per 4 in is wrong:
@@ -42,8 +49,7 @@ extern "C" int64_t tpubz_rle1_split(const uint8_t* in, int64_t n,
   };
 
   while (i < n) {
-    if (i + 3 < n && in[i] == in[i + 1] && in[i] == in[i + 2] &&
-        in[i] == in[i + 3]) {
+    if (i + 3 < n && run4_at(in, i)) {
       // run of >= 4: greedy segments of up to kMaxRun
       const uint8_t b = in[i];
       int64_t j = i + 4;
@@ -71,9 +77,7 @@ extern "C" int64_t tpubz_rle1_split(const uint8_t* in, int64_t n,
       // block boundaries never split a short (<4) run — identical cut
       // points to the segment-granular formulation.
       int64_t j = i + 1;
-      while (j + 3 < n && !(in[j] == in[j + 1] && in[j] == in[j + 2] &&
-                            in[j] == in[j + 3]))
-        j++;
+      while (j + 3 < n && !run4_at(in, j)) j++;
       if (j + 3 >= n) j = n;  // tail is all literals
       while (i < j) {
         int64_t remaining = budget - (out_len - blk_out_lo);
