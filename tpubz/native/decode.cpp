@@ -58,12 +58,16 @@ struct CrcTable {
 };
 const CrcTable kCrc;
 
+constexpr int kLutBits = 12;
+
 struct DecodeTable {
   int min_len, max_len;
   int32_t base[kMaxLenDecode + 2];
   int32_t limit[kMaxLenDecode + 2];
   int32_t off[kMaxLenDecode + 2];
   int32_t syms[258];
+  // direct lookup for codes <= kLutBits: (sym << 5) | len, or -1
+  int16_t lut[1 << kLutBits];
 };
 
 void build_decode_table(const int32_t* lens, int alpha, DecodeTable* t) {
@@ -89,6 +93,19 @@ void build_decode_table(const int32_t* lens, int alpha, DecodeTable* t) {
     t->limit[l] = t->base[l] + cnt - 1;  // cnt==0 -> base-1 (never matches)
     prev_limit = t->limit[l];
     pos += cnt;
+  }
+  // direct-lookup fill for codes resolving within kLutBits
+  std::memset(t->lut, 0xFF, sizeof(t->lut));
+  for (int l = min_len; l <= std::min(max_len, kLutBits); l++) {
+    int cnt = t->limit[l] - t->base[l] + 1;
+    for (int c = 0; c < cnt; c++) {
+      int sym = t->syms[t->off[l] + c];
+      int32_t code = t->base[l] + c;
+      int span = 1 << (kLutBits - l);
+      int32_t start = code << (kLutBits - l);
+      for (int k = 0; k < span; k++)
+        t->lut[start + k] = (int16_t)((sym << 5) | l);
+    }
   }
 }
 
@@ -206,17 +223,27 @@ extern "C" int64_t tpubz_decode_block(
     g_left--;
     const int maxl = T->max_len;
     if (br.pos + T->min_len > nbits) return -1;
-    int64_t window = peek(br.pos, maxl);  // may peek past valid bits (zeros)
-    int l = T->min_len;
-    int64_t code = window >> (maxl - l);
-    while (code > T->limit[l]) {
-      if (l >= maxl) return -6;
-      l++;
-      code = window >> (maxl - l);
+    int sym, l;
+    int16_t hit = T->lut[peek(br.pos, kLutBits)];
+    if (hit >= 0) {
+      sym = hit >> 5;
+      l = hit & 31;
+    } else {
+      // lut miss => true code longer than kLutBits; for corrupt/incomplete
+      // codes max_len may still be <= kLutBits — reject before shifting
+      if (maxl <= kLutBits) return -6;
+      int64_t window = peek(br.pos, maxl);  // may peek past valid bits
+      l = kLutBits + 1 <= T->min_len ? T->min_len : kLutBits + 1;
+      int64_t code = window >> (maxl - l);
+      while (code > T->limit[l]) {
+        if (l >= maxl) return -6;
+        l++;
+        code = window >> (maxl - l);
+      }
+      sym = T->syms[T->off[l] + code - T->base[l]];
     }
     if (br.pos + l > nbits) return -1;
     br.pos += l;
-    int sym = T->syms[T->off[l] + code - T->base[l]];
     if (sym <= 1) {  // RUNA / RUNB
       zeros += bit_mult * (sym + 1);
       bit_mult <<= 1;
