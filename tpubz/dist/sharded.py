@@ -8,6 +8,15 @@ per-block transform needs no cross-block communication (no shared dictionary
 — all tables are per-block), so the only collective surface is the ordered
 gather of per-block outputs, which rides the jax.Array output sharding back
 to host 0 in block order.
+
+Multi-host design (validated on the virtual 8-device CPU mesh; real pods
+use the same code): `jax.distributed.initialize()` per host, a global mesh
+over all chips, and the same block-DP sharding — per-host input feeding via
+`jax.make_array_from_process_local_data` on each host's slice of the block
+batch, outputs gathered to host 0 by fetching the global arrays (addressable
+shards move over ICI/DCN via the jax.Array machinery). The stream CRC fold
+is order-dependent (reference src/tools/crc.rs:25-27) and is applied on
+host 0 in block order during assembly, exactly as in the single-host path.
 """
 from __future__ import annotations
 
