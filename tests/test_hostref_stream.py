@@ -95,3 +95,17 @@ def test_concatenated_streams_decode(rng, sys_bunzip2):
     cat = compress(a, 1) + compress(b, 9)
     assert full_decompress(cat) == a + b
     assert sys_bunzip2(cat) == a + b
+
+
+def test_streaming_decode_matches(rng, monkeypatch):
+    import io
+
+    import tpubz.stream.files as F
+
+    monkeypatch.setattr(F, "WINDOW_BYTES", 200_000)
+    a = bytes(rng.integers(0, 64, 500_000, dtype=np.uint8))
+    b = b"stream two " * 10_000
+    cat = compress(a, 1) + compress(b, 9)
+    buf = io.BytesIO()
+    n = F.decompress_stream(io.BytesIO(cat), buf)
+    assert buf.getvalue() == a + b and n == len(a) + len(b)

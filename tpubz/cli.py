@@ -199,9 +199,12 @@ def run(argv: list[str], prog: str = "tpubz") -> int:
     rc = 0
     for fname in o.files:
         try:
-            if o.mode == "zip" and not o.stdout:
-                # streaming path: bounded memory for arbitrarily large files
-                out_name = fname + ".bz2"
+            if o.mode in ("zip", "unzip") and not o.stdout:
+                # streaming paths: bounded memory for arbitrarily large files
+                if o.mode == "zip":
+                    out_name = fname + ".bz2"
+                else:
+                    out_name = fname[:-4] if fname.endswith(".bz2") else fname + ".out"
                 if os.path.exists(out_name) and not o.force:
                     print(
                         f"tpubz: output file {out_name} already exists "
@@ -210,9 +213,12 @@ def run(argv: list[str], prog: str = "tpubz") -> int:
                     )
                     rc = 1
                     continue
-                from .stream.files import compress_file
+                from .stream.files import compress_file, decompress_file
 
-                compress_file(fname, out_name, o.level)
+                if o.mode == "zip":
+                    compress_file(fname, out_name, o.level)
+                else:
+                    decompress_file(fname, out_name)
                 _log(o, 1, f"{fname} -> {out_name}")
                 if not o.keep:
                     os.unlink(fname)

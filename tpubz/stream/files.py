@@ -115,3 +115,108 @@ def compress_stream(fin: io.RawIOBase, fout: io.RawIOBase, level: int = 9) -> in
 def compress_file(src: str, dst: str, level: int = 9) -> None:
     with open(src, "rb") as fin, open(dst, "wb") as fout:
         compress_stream(fin, fout, level)
+
+
+def decompress_stream(fin: io.RawIOBase, fout: io.RawIOBase) -> int:
+    """Decompress a .bz2 stream (including concatenated streams) with
+    bounded memory: a sliding window holds only the bytes of blocks not yet
+    fully decoded (a block's compressed span is at most ~1.01x its 900k
+    budget, far below the window). Returns total bytes written."""
+    from ..format.constants import BLOCK_MAGIC, FOOTER_MAGIC, STREAM_MAGIC
+    from ..format.crc import stream_crc_fold
+    from ..native import decode_block_native, get_lib
+    from ..hostref.bitio import BitReader
+    from ..hostref.block import decode_block
+    from ..format.crc import block_crc
+
+    window = max(WINDOW_BYTES, 8 * 1024 * 1024)
+    buf = b""
+    eof = False
+    pos = 0  # bit position within buf
+    total = 0
+    level = None
+    s_crc = 0
+    in_stream = False
+    while True:
+        # top up the window
+        while not eof and len(buf) * 8 - pos < window * 4:
+            chunk = fin.read(window)
+            if not chunk:
+                eof = True
+                break
+            buf += chunk
+        # drop consumed whole bytes
+        drop = pos // 8
+        if drop:
+            buf = buf[drop:]
+            pos -= drop * 8
+        if not in_stream:
+            if pos // 8 >= len(buf):
+                break  # clean end between streams
+            if total and buf[pos // 8 : pos // 8 + 3] != STREAM_MAGIC:
+                break  # trailing non-stream bytes: stop like the in-memory path
+            if len(buf) * 8 - pos < 32:
+                raise ValueError("truncated stream header")
+            hdr = BitReader(buf)
+            hdr.pos = pos
+            if bytes(hdr.read(8) for _ in range(3)) != STREAM_MAGIC:
+                raise ValueError("not a bzip2 stream")
+            level = hdr.read(8) - 0x30
+            if not 1 <= level <= 9:
+                raise ValueError("invalid block size digit")
+            pos = hdr.pos
+            s_crc = 0
+            in_stream = True
+            continue
+        if len(buf) * 8 - pos < 48:
+            raise ValueError("truncated stream")
+        br = BitReader(buf)
+        br.pos = pos
+        tag = br.read(48)
+        if tag == FOOTER_MAGIC:
+            stored = br.read(32)
+            if stored != s_crc:
+                raise ValueError("stream CRC mismatch")
+            # byte-align; another stream may follow
+            pos = (br.pos + 7) // 8 * 8
+            in_stream = False
+            if eof and (pos // 8 >= len(buf)):
+                break
+            continue
+        if tag != BLOCK_MAGIC:
+            raise ValueError("invalid block header magic")
+        arr = np.frombuffer(buf, np.uint8)
+        try:
+            if get_lib() is not None:
+                raw, end_bit, blk_crc, actual = decode_block_native(
+                    arr, pos + 48, level
+                )
+                raw = raw.tobytes()
+            else:
+                raw_a, blk_crc = decode_block(br, level)
+                raw, end_bit, actual = (
+                    raw_a.tobytes(),
+                    br.pos,
+                    block_crc(raw_a),
+                )
+        except ValueError:
+            if not eof:
+                # block may extend past the window — read more and retry
+                chunk = fin.read(window)
+                if chunk:
+                    buf += chunk
+                    continue
+                eof = True
+            raise
+        if actual != blk_crc:
+            raise ValueError("block CRC mismatch")
+        s_crc = stream_crc_fold(s_crc, blk_crc)
+        fout.write(raw)
+        total += len(raw)
+        pos = end_bit
+    return total
+
+
+def decompress_file(src: str, dst: str) -> None:
+    with open(src, "rb") as fin, open(dst, "wb") as fout:
+        decompress_stream(fin, fout)
