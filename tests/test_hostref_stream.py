@@ -109,3 +109,11 @@ def test_streaming_decode_matches(rng, monkeypatch):
     buf = io.BytesIO()
     n = F.decompress_stream(io.BytesIO(cat), buf)
     assert buf.getvalue() == a + b and n == len(a) + len(b)
+
+
+def test_all_levels_roundtrip(rng, sys_bunzip2):
+    d = bytes(rng.integers(0, 48, 220_000, dtype=np.uint8))
+    for level in range(1, 10):
+        c = compress(d, level)
+        assert decompress(c) == d, level
+        assert sys_bunzip2(c) == d, level
