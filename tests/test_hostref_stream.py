@@ -102,7 +102,8 @@ def test_streaming_decode_matches(rng, monkeypatch):
 
     import tpubz.stream.files as F
 
-    monkeypatch.setattr(F, "WINDOW_BYTES", 200_000)
+    # window far below one compressed block: forces the refill-retry path
+    monkeypatch.setattr(F, "WINDOW_BYTES", 64 * 1024)
     a = bytes(rng.integers(0, 64, 500_000, dtype=np.uint8))
     b = b"stream two " * 10_000
     cat = compress(a, 1) + compress(b, 9)

@@ -129,7 +129,7 @@ def decompress_stream(fin: io.RawIOBase, fout: io.RawIOBase) -> int:
     from ..hostref.block import decode_block
     from ..format.crc import block_crc
 
-    window = max(WINDOW_BYTES, 8 * 1024 * 1024)
+    window = max(WINDOW_BYTES, 64 * 1024)
     buf = b""
     eof = False
     pos = 0  # bit position within buf
