@@ -138,8 +138,8 @@ def decompress_stream(fin: io.RawIOBase, fout: io.RawIOBase) -> int:
     s_crc = 0
     in_stream = False
     while True:
-        # top up the window
-        while not eof and len(buf) * 8 - pos < window * 4:
+        # top up: keep at least ~2 windows of unconsumed bytes buffered
+        while not eof and len(buf) - pos // 8 < 2 * window:
             chunk = fin.read(window)
             if not chunk:
                 eof = True
