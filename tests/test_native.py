@@ -34,6 +34,32 @@ def test_refine_native_matches_python(rng, native_available):
         assert np.array_equal(len_n[:tc_n], len_p[:tc_n])
 
 
+def test_decode_rejects_oversubscribed_code_lengths(native_available):
+    """A crafted block whose Huffman lengths oversubscribe the code space
+    (all symbols length 1) must fail cleanly with -5, not overflow the
+    12-bit LUT fill (previously heap corruption via decode_block_native)."""
+    from tpubz.hostref.bitio import BitAccum
+    from tpubz.native import decode_block_native
+
+    acc = BitAccum()
+    acc.put(0, 32)       # block CRC
+    acc.put(0, 1)        # randomized flag
+    acc.put(0, 24)       # BWT key
+    acc.put(0x8000, 16)  # symbol map level 1: group 0 present
+    acc.put(0x8000, 16)  # group 0: symbol 0 present -> nsyms=1, alpha=3
+    acc.put(2, 3)        # table count
+    acc.put(1, 15)       # selector count
+    acc.put(0, 1)        # selector 0 unary-coded (table 0)
+    for _ in range(2):   # two tables
+        acc.put(1, 5)    # origin length 1
+        for _ in range(3):
+            acc.put(0, 1)  # no delta: three symbols all length 1 (3 > 2^1)
+    payload, nbits = acc.pack()
+    arr = np.frombuffer(payload + b"\x00" * 16, np.uint8)
+    with pytest.raises(ValueError, match="code length"):
+        decode_block_native(arr, 0, 1)
+
+
 def test_stream_identical_with_and_without_native(rng, monkeypatch):
     from tpubz.hostref.stream import compress
 

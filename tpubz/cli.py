@@ -215,10 +215,19 @@ def run(argv: list[str], prog: str = "tpubz") -> int:
                     continue
                 from .stream.files import compress_file, decompress_file
 
-                if o.mode == "zip":
-                    compress_file(fname, out_name, o.level)
-                else:
-                    decompress_file(fname, out_name)
+                try:
+                    if o.mode == "zip":
+                        compress_file(fname, out_name, o.level)
+                    else:
+                        decompress_file(fname, out_name)
+                except BaseException:
+                    # don't leave a partial output behind on failure
+                    # (matches C bzip2, which deletes incomplete output)
+                    try:
+                        os.unlink(out_name)
+                    except OSError:
+                        pass
+                    raise
                 _log(o, 1, f"{fname} -> {out_name}")
                 if not o.keep:
                     os.unlink(fname)
@@ -233,7 +242,9 @@ def run(argv: list[str], prog: str = "tpubz") -> int:
                 out_name = fname[:-4] if fname.endswith(".bz2") else fname + ".out"
             else:
                 decompress(data)
-                _log(o, 0, f"{fname}: ok")
+                # per-file test success is reported only with -v, like the
+                # canonical tool
+                _log(o, 1, f"{fname}: ok")
                 continue
             if o.stdout:
                 sys.stdout.buffer.write(out)

@@ -70,7 +70,10 @@ struct DecodeTable {
   int16_t lut[1 << kLutBits];
 };
 
-void build_decode_table(const int32_t* lens, int alpha, DecodeTable* t) {
+// Returns false when the code lengths oversubscribe the canonical code
+// space (sum of 2^-len > 1): such a stream is corrupt, and proceeding
+// would make limit[l] exceed (1<<l)-1 and overflow the LUT fill below.
+bool build_decode_table(const int32_t* lens, int alpha, DecodeTable* t) {
   int min_len = 32, max_len = 0;
   for (int s = 0; s < alpha; s++) {
     min_len = std::min(min_len, (int)lens[s]);
@@ -89,6 +92,7 @@ void build_decode_table(const int32_t* lens, int alpha, DecodeTable* t) {
       t->base[l] = 0;
     else
       t->base[l] = (prev_limit + 1) << 1;
+    if (t->base[l] + cnt > (1 << l)) return false;  // oversubscribed code
     t->off[l] = pos;
     t->limit[l] = t->base[l] + cnt - 1;  // cnt==0 -> base-1 (never matches)
     prev_limit = t->limit[l];
@@ -107,6 +111,7 @@ void build_decode_table(const int32_t* lens, int alpha, DecodeTable* t) {
         t->lut[start + k] = (int16_t)((sym << 5) | l);
     }
   }
+  return true;
 }
 
 }  // namespace
@@ -187,7 +192,7 @@ extern "C" int64_t tpubz_decode_block(
       if (cur < 1 || cur > kMaxLenDecode) return -5;
       lens[s] = cur;
     }
-    build_decode_table(lens, alpha, &tables[t]);
+    if (!build_decode_table(lens, alpha, &tables[t])) return -5;
   }
   if (!br.ok) return -1;
   // payload: canonical Huffman decode until EOB, fused with RLE2+MTF undo.

@@ -86,9 +86,20 @@ def _decompress_one(data: bytes) -> tuple[bytes, int]:
     from ..native import decode_block_native, get_lib
 
     arr = np.frombuffer(data, dtype=np.uint8)
-    results: dict[int, tuple] = {}
+    futures: dict[int, object] = {}
+    ex = None
     if get_lib() is not None:
+        # Bound the candidate scan at this stream's footer: blocks beyond
+        # the first footer-magic hit belong to subsequent concatenated
+        # streams (or are payload false positives) — pre-decoding them with
+        # this stream's level wastes threads and made concatenations
+        # O(streams x size). A false-positive footer hit only prunes
+        # pre-decodes; the serial walk below still decodes those blocks.
         candidates = [int(c) for c in find_magic_bit_offsets(data) if c >= 32]
+        footers = find_magic_bit_offsets(data, FOOTER_MAGIC)
+        if footers.size:
+            cutoff = int(footers[0])
+            candidates = [c for c in candidates if c < cutoff]
         if len(candidates) > 1:
             from concurrent.futures import ThreadPoolExecutor
 
@@ -98,42 +109,51 @@ def _decompress_one(data: bytes) -> tuple[bytes, int]:
                 except ValueError:
                     return None
 
-            with ThreadPoolExecutor(min(32, len(candidates))) as ex:
-                for c, res in zip(candidates, ex.map(try_decode, candidates)):
-                    results[c] = res
+            ex = ThreadPoolExecutor(min(32, len(candidates)))
+            futures = {c: ex.submit(try_decode, c) for c in candidates}
 
-    s_crc = 0
-    parts: list[np.ndarray] = []
-    pos = 32  # bit position of the next expected block/footer magic
-    while True:
-        first48 = BitReader(data)
-        first48.pos = pos
-        tag = first48.read(48)
-        if tag == FOOTER_MAGIC:
-            stored = first48.read(32)
-            if stored != s_crc:
-                raise ValueError(
-                    f"stream CRC mismatch: stream says {stored:#010x}, got {s_crc:#010x}"
+    try:
+        s_crc = 0
+        parts: list[np.ndarray] = []
+        pos = 32  # bit position of the next expected block/footer magic
+        while True:
+            first48 = BitReader(data)
+            first48.pos = pos
+            tag = first48.read(48)
+            if tag == FOOTER_MAGIC:
+                stored = first48.read(32)
+                if stored != s_crc:
+                    raise ValueError(
+                        f"stream CRC mismatch: stream says {stored:#010x}, got {s_crc:#010x}"
+                    )
+                pos = first48.pos
+                break
+            if tag != BLOCK_MAGIC:
+                raise ValueError("invalid block header magic")
+            res = futures[pos].result() if pos in futures else None
+            if res is not None:
+                raw, end_bit, blk_crc, actual = res
+            elif get_lib() is not None:
+                raw, end_bit, blk_crc, actual = decode_block_native(
+                    arr, pos + 48, level
                 )
-            pos = first48.pos
-            break
-        if tag != BLOCK_MAGIC:
-            raise ValueError("invalid block header magic")
-        if pos in results and results[pos] is not None:
-            raw, end_bit, blk_crc, actual = results[pos]
-        elif get_lib() is not None:
-            raw, end_bit, blk_crc, actual = decode_block_native(arr, pos + 48, level)
-        else:
-            raw, blk_crc = decode_block(first48, level)
-            end_bit = first48.pos
-            actual = block_crc(raw)
-        if actual != blk_crc:
-            raise ValueError(
-                f"block CRC mismatch: stream says {blk_crc:#010x}, got {actual:#010x}"
-            )
-        s_crc = stream_crc_fold(s_crc, blk_crc)
-        parts.append(raw)
-        pos = end_bit
+            else:
+                raw, blk_crc = decode_block(first48, level)
+                end_bit = first48.pos
+                actual = block_crc(raw)
+            if actual != blk_crc:
+                raise ValueError(
+                    f"block CRC mismatch: stream says {blk_crc:#010x}, got {actual:#010x}"
+                )
+            s_crc = stream_crc_fold(s_crc, blk_crc)
+            parts.append(raw)
+            pos = end_bit
+    finally:
+        if ex is not None:
+            # stop dispatching wasted pre-decodes once the walk is done
+            for f in futures.values():
+                f.cancel()
+            ex.shutdown(wait=False)
     return b"".join(p.tobytes() for p in parts), (pos + 7) // 8
 
 

@@ -200,8 +200,16 @@ def decompress_stream(fin: io.RawIOBase, fout: io.RawIOBase) -> int:
                     block_crc(raw_a),
                 )
         except ValueError:
-            if not eof:
-                # block may extend past the window — read more and retry
+            # A decode failure is ambiguous: the block may extend past the
+            # buffered window, or it may be corrupt. Only retry with more
+            # data while the buffered span past pos could still be smaller
+            # than the largest possible compressed block (~3x the 900k
+            # post-RLE1 budget is a safe over-bound: worst-case RLE2 length
+            # is budget+1 symbols at <=20 bits each, plus headers). Beyond
+            # that a valid block cannot need more bytes — raise instead of
+            # slurping the remaining input (bounded-memory contract).
+            max_block_bytes = level * 100_000 * 3 + 4096
+            if not eof and len(buf) - pos // 8 < max_block_bytes:
                 chunk = fin.read(window)
                 if chunk:
                     buf += chunk
