@@ -5,11 +5,16 @@ corpus (text + binary + repetitive + random), measured end-to-end through the
 device-path compressor (RLE1 host scan -> device transforms -> Huffman
 refinement -> stream assembly), with output validated against system bunzip2.
 
+Robustness: this VM's CPU scheduling is bursty (10-20x swings between
+consecutive trials), so encode and decode run TPUBZ_BENCH_TRIALS trials
+(default 3) and the headline value is the MEDIAN; best is reported alongside.
+
 vs_baseline compares against the north-star per-chip share: 5 GB/s aggregate
 on a v5e-16 slice (BASELINE.json) -> 0.3125 GB/s per chip.
 """
 import json
 import os
+import statistics
 import subprocess
 import sys
 import time
@@ -45,24 +50,37 @@ def build_corpus(mb: int = 8) -> bytes:
 
 def main():
     level = 9
+    trials = max(1, int(os.environ.get("TPUBZ_BENCH_TRIALS", "3")))
     corpus = build_corpus(int(os.environ.get("TPUBZ_BENCH_MB", "8")))
     from tpubz.stream.api import compress
     from tpubz.stream.decode import decompress
 
     # warm up compiles on a small prefix (shapes are level-determined)
     compress(corpus[: 64 * 1024], level)
-    t0 = time.time()
-    out = compress(corpus, level)
-    dt = time.time() - t0
-    gbps = len(corpus) / dt / 1e9
+
+    enc_times = []
+    out = None
+    for _ in range(trials):
+        t0 = time.time()
+        out = compress(corpus, level)
+        enc_times.append(time.time() - t0)
+    gbps = len(corpus) / statistics.median(enc_times) / 1e9
+    gbps_best = len(corpus) / min(enc_times) / 1e9
+
     # validate through system bunzip2
     p = subprocess.run(["bunzip2", "-c"], input=out, capture_output=True)
     ok = p.returncode == 0 and p.stdout == corpus
-    # decode throughput (native thread-parallel block decode)
-    t0 = time.time()
-    back = decompress(out)
-    ddt = time.time() - t0
+
+    dec_times = []
+    back = None
+    for _ in range(trials):
+        t0 = time.time()
+        back = decompress(out)
+        dec_times.append(time.time() - t0)
+    dec_mbps = len(corpus) / statistics.median(dec_times) / 1e6
+    dec_mbps_best = len(corpus) / min(dec_times) / 1e6
     ok = ok and back == corpus
+
     # size check vs reference C bzip2
     ref = subprocess.run(
         ["bzip2", "-9", "-c"], input=corpus, capture_output=True
@@ -73,10 +91,14 @@ def main():
         "value": round(gbps, 4),
         "unit": "GB/s",
         "vs_baseline": round(gbps / PER_CHIP_TARGET, 4),
+        "trials": trials,
+        "encode_best_GBps": round(gbps_best, 4),
+        "encode_trials_s": [round(t, 2) for t in enc_times],
         "corpus_mb": len(corpus) // (1024 * 1024),
         "compressed_ratio": round(ratio, 4),
         "size_vs_c_bzip2": round(len(out) / max(len(ref), 1), 6),
-        "decode_MBps": round(len(corpus) / ddt / 1e6, 2),
+        "decode_MBps": round(dec_mbps, 2),
+        "decode_best_MBps": round(dec_mbps_best, 2),
         "roundtrip_ok": ok,
     }
     print(json.dumps(result))

@@ -134,3 +134,97 @@ def test_decode_table_roundtrip(rng):
     sel = np.zeros(1000, dtype=np.int64)
     out = huffman_decode_payload(br, [t], sel, eob=7)
     assert list(out) == list(syms)
+
+
+def test_block_splits_match_c_bzip2(rng):
+    """Block cut points replicate C bzip2's ADD_CHAR_TO_BLOCK budget rule
+    exactly (check before each input byte, whole-segment flushes, EOF tail
+    join): per-block raw sizes of our split == C's, which pins the
+    <=-C-size guarantee on multi-block inputs."""
+    import subprocess
+
+    from tpubz.format.constants import block_budget
+    from tpubz.hostref.rle1 import rle1_blocks
+    from tpubz.native import decode_block_native, get_lib
+    from tpubz.stream.decode import find_magic_bit_offsets
+
+    if get_lib() is None:
+        pytest.skip("native lib needed to parse C block structure")
+    cases = [
+        bytes(rng.integers(0, 4, 150_000, dtype=np.uint8)),
+        bytes(rng.integers(0, 256, 250_000, dtype=np.uint8)),
+        (b"ab" * 50 + b"x" * 300 + bytes(rng.integers(0, 8, 1000, dtype=np.uint8))) * 200,
+        b"a" * 250_000,
+    ]
+    for d in cases:
+        ref = subprocess.run(
+            ["bzip2", "-1", "-c"], input=d, capture_output=True
+        ).stdout
+        arr = np.frombuffer(ref, np.uint8)
+        c_sizes = [
+            decode_block_native(arr, int(c) + 48, 1)[0].size
+            for c in find_magic_bit_offsets(ref)
+            if c >= 32
+        ]
+        _, blocks = rle1_blocks(np.frombuffer(d, np.uint8), block_budget(1))
+        ours = [i1 - i0 for (_, _, i0, i1) in blocks]
+        assert ours == c_sizes, (ours, c_sizes)
+
+
+def test_size_never_worse_regression():
+    """Seeds that previously produced output 1-2 bytes larger than C bzip2
+    (block split divergence on low-entropy multi-block input at -1)."""
+    import subprocess
+
+    from tpubz.hostref.stream import compress
+
+    for seed in (3, 39):
+        r = np.random.default_rng(seed)
+        d = bytes(r.integers(0, 4, 150_000, dtype=np.uint8))
+        ours = len(compress(d, 1))
+        theirs = len(
+            subprocess.run(["bzip2", "-1", "-c"], input=d, capture_output=True).stdout
+        )
+        assert ours <= theirs, (seed, ours, theirs)
+
+
+def test_rle1_decode_mirrors_native_semantics(rng):
+    """hostref rle1_decode must agree with the native fused decoder's RLE1
+    semantics (sequential run counting with reset after each expansion) on
+    arbitrary -- including malformed -- inputs (VERDICT r1 weak #7)."""
+
+    def native_semantics(d):
+        out = []
+        run = 0
+        prev = -1
+        expect_count = False
+        for b in d:
+            if expect_count:
+                out.extend([prev] * b)
+                expect_count = False
+                run = 0
+                continue
+            out.append(b)
+            if run > 0 and b == prev:
+                run += 1
+            else:
+                run = 1
+                prev = b
+            if run == 4:
+                expect_count = True
+        return bytes(out)
+
+    cases = [
+        b"aaaa",  # trailing 4-run, count byte missing (malformed)
+        b"aaaaa",
+        b"aaaaaa\x01",
+        b"baaaa",
+        b"aaaa\x00aaaa\x02",
+        b"\xff" * 9,
+    ]
+    for _ in range(30):
+        n = int(rng.integers(0, 64))
+        cases.append(bytes(rng.integers(0, 3, n, dtype=np.uint8)))
+    for d in cases:
+        got = bytes(rle1_decode(np.frombuffer(d, np.uint8)))
+        assert got == native_semantics(d), d

@@ -78,11 +78,17 @@ def split_blocks(
     seg_in_start: np.ndarray,
     budget: int,
 ) -> list[tuple[int, int, int, int]]:
-    """Greedy block split of the RLE1 output at segment cut points.
+    """Block split of the RLE1 output at segment cut points, replicating C
+    bzip2's ADD_CHAR_TO_BLOCK cut rule: the `nblock >= nblockMAX` check runs
+    BEFORE each input byte and pending runs flush whole, so a block closes at
+    the end of the first segment that brings its output size >= budget
+    (overshoot up to 4 bytes) — provided at least two input bytes follow the
+    boundary (otherwise the EOF flush joins the tail to the current block).
+    Matching C's cuts keeps per-block content identical to C bzip2's, which
+    pins the <=-C-size guarantee on multi-block inputs.
 
     Returns [(out_lo, out_hi, in_lo, in_hi), ...] — RLE1-output and raw-input
-    ranges per block. Each block's RLE1 size is <= budget (a single segment is
-    at most 5 bytes, far below any budget, so progress is guaranteed).
+    ranges per block.
     """
     total = int(seg_out_start[-1])
     if total == 0:
@@ -90,22 +96,23 @@ def split_blocks(
     blocks = []
     i = 0  # index into seg arrays
     nsegs = seg_out_start.size - 1
+    n = int(seg_in_start[-1])
     while i < nsegs:
         lo = int(seg_out_start[i])
-        # last segment j with seg_out_start[j] - lo <= budget... we need the
-        # block to END at a cut point with size <= budget:
-        hi_idx = int(np.searchsorted(seg_out_start, lo + budget, side="right")) - 1
-        if hi_idx <= i:
-            hi_idx = i + 1  # always include at least one segment
+        # smallest m with seg_out_start[m] - lo >= budget: block = segments
+        # i..m-1 (the crossing segment included)
+        m = int(np.searchsorted(seg_out_start, lo + budget, side="left"))
+        if m > nsegs or int(seg_in_start[m]) > n - 2:
+            m = nsegs  # no further cut possible: tail joins this block
         blocks.append(
             (
                 lo,
-                int(seg_out_start[hi_idx]),
+                int(seg_out_start[m]),
                 int(seg_in_start[i]),
-                int(seg_in_start[hi_idx]),
+                int(seg_in_start[m]),
             )
         )
-        i = hi_idx
+        i = m
     return blocks
 
 

@@ -203,12 +203,20 @@ extern "C" int64_t tpubz_decode_block(
   uint8_t mtf[256];
   std::memcpy(mtf, symbol_set, nsyms);
   const int64_t nbytes_total = (nbits + 7) >> 3;
+  // 64-bit buffered peek: one unaligned big-endian load per symbol instead
+  // of a byte loop (the reference reads bit-by-bit, decompress.rs:293-358)
   auto peek = [&](int64_t bitpos, int n) -> int64_t {
     int64_t idx = bitpos >> 3;
-    uint64_t acc = 0;
-    for (int k = 0; k < 8; k++) {
-      acc <<= 8;
-      if (idx + k < nbytes_total) acc |= data[idx + k];
+    uint64_t acc;
+    if (idx + 8 <= nbytes_total) {
+      std::memcpy(&acc, data + idx, 8);
+      acc = __builtin_bswap64(acc);
+    } else {
+      acc = 0;
+      for (int k = 0; k < 8; k++) {
+        acc <<= 8;
+        if (idx + k < nbytes_total) acc |= data[idx + k];
+      }
     }
     return (int64_t)((acc >> (64 - (bitpos & 7) - n)) & ((1ll << n) - 1));
   };
@@ -274,9 +282,11 @@ extern "C" int64_t tpubz_decode_block(
   *block_crc_out = blk_crc;
   int64_t n = pos;
   if (key >= n && n > 0) return -2;
-  // inverse BWT: counting-sort next pointers + chase
-  // (reference src/bwt_algorithms/bwt_sort.rs:91-130)
-  std::vector<int32_t> tt((size_t)n);
+  // inverse BWT: counting-sort next pointers + chase. The byte rides in the
+  // top 8 bits of the pointer word (reference packs byte<<24|next the same
+  // way, src/bwt_algorithms/bwt_sort.rs:110-115) so each chase step costs
+  // ONE dependent cache-missing load instead of two.
+  std::vector<uint32_t> tt((size_t)n);
   {
     int64_t counts[256] = {0};
     for (int64_t i = 0; i < n; i++) counts[mtf_out[i]]++;
@@ -286,18 +296,20 @@ extern "C" int64_t tpubz_decode_block(
       cum[v] = acc;
       acc += counts[v];
     }
-    for (int64_t i = 0; i < n; i++) tt[cum[mtf_out[i]]++] = (int32_t)i;
+    for (int64_t i = 0; i < n; i++)
+      tt[cum[mtf_out[i]]++] = (uint32_t)i | ((uint32_t)mtf_out[i] << 24);
   }
   // chase + inline RLE1 undo + CRC
   uint32_t crc = 0xFFFFFFFFu;
   int64_t out_n = 0;
-  int32_t p = n ? tt[key] : 0;
+  uint32_t p = n ? tt[key] : 0;
   int run = 0;
   uint8_t prev_byte = 0;
   bool expect_count = false;
   for (int64_t i = 0; i < n; i++) {
-    uint8_t b = mtf_out[p];
-    p = tt[p];
+    uint32_t e = tt[p & 0xFFFFFF];
+    uint8_t b = (uint8_t)(p >> 24);
+    p = e;
     if (expect_count) {
       // count byte: emit b more copies of prev_byte
       if (out_n + b > out_cap) return -9;

@@ -3,9 +3,16 @@
 // Exact mirror of tpubz/hostref/rle1.py (rle1_encode + split_blocks):
 // runs of 4..255 identical bytes -> 4 literals + count byte (run-4); longer
 // runs re-scan greedily in 255-byte segments (reference src/tools/rle1.rs
-// semantics). Block boundaries land on segment starts with post-RLE1 block
-// size <= budget (reference src/compression/compress.rs:55), and each
-// block's raw input range is reported for the pre-RLE1 CRC.
+// semantics). Block cut points replicate C bzip2's ADD_CHAR_TO_BLOCK state
+// machine exactly (the `nblock >= nblockMAX` check runs BEFORE each input
+// byte and pending-run flushes can overshoot): a block closes at the end of
+// the first RLE1 segment that brings its output size >= budget — so blocks
+// end at >= budget (up to budget+4), not <= budget — provided at least two
+// input bytes follow the boundary (otherwise the EOF flush joins the final
+// pending run to the current block). Matching C's cuts keeps per-block
+// content identical to C bzip2's, which pins the <=-C-size guarantee on
+// multi-block inputs. Each block's raw input range is reported for the
+// pre-RLE1 CRC.
 #include <cstdint>
 #include <cstring>
 #include <algorithm>
@@ -22,11 +29,10 @@ inline bool run4_at(const uint8_t* in, int64_t p) {
 }
 }
 
-// out cap must be >= n + n/254*1 + 8 (worst case 5 out per 4 in is wrong:
-// worst case is 5 out per 255 in for runs, n out for literals; literals
-// dominate: out <= n + 1 per 255-run; safe cap n + n/255 + 16).
-// blocks: rows of (out_lo, out_hi, in_lo, in_hi), cap rows >= out_len/budget+2.
-// Returns number of blocks; *out_len_p = total RLE1 output length.
+// out cap must be >= n + n/255 + 16 (5 out per 255-run segment; literals
+// dominate). blocks: rows of (out_lo, out_hi, in_lo, in_hi), cap rows >=
+// out_len/budget + 2. Returns number of blocks; *out_len_p = total RLE1
+// output length.
 extern "C" int64_t tpubz_rle1_split(const uint8_t* in, int64_t n,
                                     int64_t budget, uint8_t* out,
                                     int64_t* out_len_p, int64_t* blocks,
@@ -48,6 +54,13 @@ extern "C" int64_t tpubz_rle1_split(const uint8_t* in, int64_t n,
     blk_in_lo = in_pos;
   };
 
+  // cut after the segment that just ended at input position i (its flush
+  // byte is in[i]; C's budget check fires at in[i+1], so a cut needs i+1
+  // to exist as a further input byte: i <= n-2)
+  auto maybe_cut = [&]() {
+    if (out_len - blk_out_lo >= budget && i <= n - 2) close_block(i);
+  };
+
   while (i < n) {
     if (i + 3 < n && run4_at(in, i)) {
       // run of >= 4: greedy segments of up to kMaxRun
@@ -57,9 +70,6 @@ extern "C" int64_t tpubz_rle1_split(const uint8_t* in, int64_t n,
       int64_t run = j - i;
       while (run > 0) {
         int64_t seg = std::min<int64_t>(run, kMaxRun);
-        int64_t seg_out = (seg >= kRunThreshold) ? kRunThreshold + 1 : seg;
-        if (out_len - blk_out_lo + seg_out > budget && out_len > blk_out_lo)
-          close_block(i);
         if (seg >= kRunThreshold) {
           std::memset(out + out_len, b, kRunThreshold);
           out[out_len + kRunThreshold] = (uint8_t)(seg - kRunThreshold);
@@ -70,40 +80,30 @@ extern "C" int64_t tpubz_rle1_split(const uint8_t* in, int64_t n,
         }
         run -= seg;
         i += seg;
+        maybe_cut();
       }
     } else {
-      // literal stretch: scan to the next >=4 run start, bulk-copy in
-      // budget-sized pieces, backing cuts up to same-byte run starts so
-      // block boundaries never split a short (<4) run — identical cut
-      // points to the segment-granular formulation.
+      // literal stretch: scan to the next >=4 run start; bulk-copy until
+      // the budget crossing, then extend the cut to the end of the short
+      // (<4) same-byte run containing it — C flushes short runs whole, so
+      // cut points never split one.
       int64_t j = i + 1;
       while (j + 3 < n && !run4_at(in, j)) j++;
       if (j + 3 >= n) j = n;  // tail is all literals
       while (i < j) {
         int64_t remaining = budget - (out_len - blk_out_lo);
-        if (remaining <= 0) {
-          close_block(i);
-          remaining = budget;
-        }
-        int64_t take = std::min(j - i, remaining);
-        int64_t cut = i + take;
-        if (cut < j) {
-          // don't split a short same-byte run across blocks
-          while (cut > i && in[cut - 1] == in[cut]) cut--;
-          if (cut == i) {
-            // the whole piece is one short run that doesn't fit the
-            // remaining budget: close (if nonempty) and retry full-budget
-            if (out_len > blk_out_lo) {
-              close_block(i);
-              continue;
-            }
-            cut = i + take;  // degenerate tiny budget: split anyway
-          }
+        int64_t take;
+        if (remaining > j - i) {
+          take = j - i;  // whole stretch fits without reaching the budget
+        } else {
+          int64_t cut = i + std::max<int64_t>(remaining, 1);
+          while (cut < j && in[cut] == in[cut - 1]) cut++;
           take = cut - i;
         }
         std::memcpy(out + out_len, in + i, take);
         out_len += take;
         i += take;
+        maybe_cut();
       }
     }
   }
