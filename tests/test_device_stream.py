@@ -28,3 +28,44 @@ def test_dryrun_multichip_8():
     from __graft_entry__ import dryrun_multichip
 
     dryrun_multichip(8)
+
+
+@pytest.mark.slow
+def test_device_stream_byte_identical_level9_multiblock(rng):
+    """Level-9 multi-block byte-identity: the shapes the bench runs are the
+    shapes the tests prove (VERDICT r1 weak #5 / next #8). ~2.5MB mixed
+    input -> 3 blocks at -9, through the full device path (transforms +
+    device refinement + device payload packing)."""
+    from tpubz.stream.api import compress as dev_compress
+
+    d = (
+        b"the quick brown fox jumps over the lazy dog\n" * 8000
+        + bytes(rng.integers(0, 256, 1_000_000, dtype=np.uint8))
+        + b"a" * 400_000
+        + bytes(rng.integers(0, 16, 800_000, dtype=np.uint8))
+    )
+    c_dev = dev_compress(d, 9)
+    assert c_dev == host_compress(d, 9)
+    assert decompress(c_dev) == d
+
+
+def test_devrefine_emit_matches_host_emit(rng):
+    """encode_block_devrefine (device argmin/rfreq + device payload pack)
+    must produce the same bytes as emit_block (native refine + host pack)
+    for the same transform output."""
+    from tpubz.block.encode import DeviceBlockEncoder, materialize
+
+    enc = DeviceBlockEncoder(1)
+    cases = [
+        bytes(rng.integers(0, 256, 50_000, dtype=np.uint8)),
+        b"abcd" * 20_000,
+        bytes(rng.integers(0, 6, 99_000, dtype=np.uint8)),
+    ]
+    for d in cases:
+        arr = np.frombuffer(d, np.uint8)
+        t = enc.transform(arr)
+        host_acc = DeviceBlockEncoder.emit_block(*materialize(t), crc=0x12345678)
+        dev_acc = enc.encode_block_devrefine(t, crc=0x12345678)
+        from tpubz.hostref.bitio import pack_bits
+
+        assert pack_bits(*dev_acc.arrays()) == pack_bits(*host_acc.arrays())

@@ -20,9 +20,21 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..format.constants import BLOCK_MAGIC
+from ..format.constants import (
+    BLOCK_MAGIC,
+    GROUP_SIZE,
+    HUFFMAN_ITERS,
+    group_count_for,
+)
 from ..hostref.bitio import BitAccum
-from ..hostref.huffman import huffman_emit, refine_stream
+from ..hostref.huffman import (
+    c_code_lengths,
+    c_init_tables,
+    huffman_emit,
+    huffman_emit_headers,
+    mtf_selectors,
+    refine_stream,
+)
 from ..kernels.mtf import mtf_ranks
 from ..kernels.rle2 import rle2_encode
 from ..kernels.suffix_sort import bwt_forward
@@ -161,4 +173,94 @@ class DeviceBlockEncoder:
         acc.put(0, 1)
         acc.put(int(key), 24)
         huffman_emit(acc, rle2, used, selectors, lengths, table_count)
+        return acc
+
+    def encode_block_devrefine(self, trans_out, crc: int) -> BitAccum:
+        """Encode with the refinement argmin/rfreq matmuls and the payload
+        packing on device (SURVEY.md §2 row 9; reference huffman.rs:139-174 +
+        bitpacker.rs:17-111): only per-pass lens/rfreq/selector sidecars and
+        the packed payload bits cross the link — never the 900k u8 symbol
+        stream. Output bytes are identical to emit_block (same refinement
+        trajectory, same snapshot rule; cross-checked in tests)."""
+        import jax.numpy as jnp
+
+        from ..kernels.huffman_dev import (
+            chunk_hist,
+            nsel_cap,
+            pack_payload,
+            refine_pass,
+        )
+        from ..native import code_lengths_native
+
+        key_d, syms_d, rle2_len_d, freqs_d, used_d, *_ = trans_out
+        hist_d = chunk_hist(syms_d, rle2_len_d)
+        key, rle2_len, freqs, used = jax.device_get(
+            (key_d, rle2_len_d, freqs_d, used_d)
+        )
+        key, rle2_len = int(key), int(rle2_len)
+        alpha = int(used.sum()) + 2
+        tc = group_count_for(rle2_len)
+        nsel = (rle2_len + GROUP_SIZE - 1) // GROUP_SIZE
+        lens = c_init_tables(freqs.astype(np.int64), tc, alpha)
+        iters = max(HUFFMAN_ITERS, 4)
+        best = None
+        stale = 0
+        for it in range(iters):
+            sel_d, rfreq_d = refine_pass(
+                hist_d, jnp.asarray(lens, jnp.int32), jnp.int32(tc)
+            )
+            sel_full, rfreq = jax.device_get((sel_d, rfreq_d))
+            sel = sel_full[:nsel].astype(np.int64)
+            rfreq64 = rfreq.astype(np.int64)
+            for t in range(tc):
+                cl = code_lengths_native(rfreq64[t], alpha)
+                if cl is None:
+                    cl = c_code_lengths(rfreq64[t], alpha)
+                lens[t, :alpha] = cl
+            # exact emitted bits for this snapshot (same formula as the
+            # native engine: payload via rfreq x NEW lens)
+            payload = int((rfreq64[:tc, :alpha] * lens[:tc, :alpha]).sum())
+            sel_bits = int(mtf_selectors(sel, tc).sum()) + nsel
+            dl = int(np.abs(np.diff(lens[:tc, :alpha], axis=1)).sum())
+            bits = payload + sel_bits + dl * 2 + tc * (alpha + 5)
+            if best is None or bits < best[0]:
+                best = (bits, sel, lens.copy(), rfreq64.copy())
+                stale = 0
+            else:
+                stale += 1
+            # adaptive stop: past the C-faithful 4 passes, quit once two
+            # consecutive passes stop improving the exact size
+            if it >= 3 and stale >= 2:
+                break
+        _, sel_b, lens_b, rfreq_b = best
+        payload_bits = int((rfreq_b[:tc, :alpha] * lens_b[:tc, :alpha]).sum())
+        acc = BitAccum()
+        acc.put(BLOCK_MAGIC, 48)
+        acc.put(crc, 32)
+        acc.put(0, 1)
+        acc.put(key, 24)
+        codes = huffman_emit_headers(acc, used, sel_b, lens_b[:, :alpha], tc)
+        codes_pad = np.zeros((6, 258), np.uint32)
+        codes_pad[:tc, :alpha] = codes
+        lens_pad = np.zeros((6, 258), np.int32)
+        lens_pad[:tc, :alpha] = lens_b[:tc, :alpha]
+        sel_pad = np.zeros(nsel_cap(syms_d.shape[0]), np.int8)
+        sel_pad[:nsel] = sel_b
+        words_d, total_d = pack_payload(
+            syms_d,
+            rle2_len_d,
+            jnp.asarray(sel_pad),
+            jnp.asarray(codes_pad),
+            jnp.asarray(lens_pad),
+        )
+        # fetch only the words the payload needs, bucketed to a few static
+        # slice shapes so each bucket compiles one tiny slice program
+        nwords = (payload_bits + 31) // 32
+        cap = 4096
+        while cap < nwords:
+            cap *= 2
+        cap = min(cap, words_d.shape[0])
+        words, total = jax.device_get((words_d[:cap], total_d))
+        assert int(total) == payload_bits, "device payload bits diverged"
+        acc.put_words(np.asarray(words), payload_bits)
         return acc

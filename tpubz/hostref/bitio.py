@@ -66,6 +66,30 @@ class BitAccum:
         self._chunks.append((vals, bits))
         self._total += int(bits.sum())
 
+    def put_words(self, words: np.ndarray, nbits: int) -> None:
+        """Append `nbits` of pre-packed MSB-first uint32 words (e.g. a
+        device-packed payload): each word becomes two 16-bit fields, with
+        trailing fields trimmed to the exact bit length."""
+        if nbits == 0:
+            return
+        nw = (nbits + 31) // 32
+        w = np.asarray(words[:nw], dtype=np.uint32)
+        vals = np.empty(nw * 2, np.uint32)
+        vals[0::2] = w >> 16
+        vals[1::2] = w & 0xFFFF
+        bits = np.full(nw * 2, 16, np.int64)
+        excess = nw * 32 - nbits
+        i = vals.size - 1
+        while excess > 0:
+            take = min(16, excess)
+            bits[i] -= take
+            vals[i] >>= take
+            excess -= take
+            i -= 1
+        self._flush_pending()
+        self._chunks.append((vals, bits))
+        self._total += nbits
+
     @property
     def bit_len(self) -> int:
         return self._total

@@ -361,15 +361,16 @@ def huffman_encode(acc: BitAccum, rle2: np.ndarray, freqs: np.ndarray, used: np.
     huffman_emit(acc, rle2, used, selectors, lengths, table_count)
 
 
-def huffman_emit(
+def huffman_emit_headers(
     acc: BitAccum,
-    rle2: np.ndarray,
     used: np.ndarray,
     selectors: np.ndarray,
     lengths: np.ndarray,
     table_count: int,
-) -> None:
-    """Emission half: symbol map, counts, selectors, length deltas, payload."""
+) -> np.ndarray:
+    """Emit everything before the payload: symbol map, table count, selector
+    count, MTF'd unary selectors, per-table delta-coded lengths. Returns the
+    canonical codes[table_count, alpha] for payload emission."""
     alpha = int(np.asarray(used, bool).sum()) + 2
     # symbol map (bit-position tracing mirrors the reference's format-debug
     # story, bitpacker.rs:109-111 / huffman.rs:208-222)
@@ -402,6 +403,19 @@ def huffman_emit(
                 acc.put(0b11, 2)
                 delta += 1
             acc.put(0, 1)
+    return codes
+
+
+def huffman_emit(
+    acc: BitAccum,
+    rle2: np.ndarray,
+    used: np.ndarray,
+    selectors: np.ndarray,
+    lengths: np.ndarray,
+    table_count: int,
+) -> None:
+    """Emission half: symbol map, counts, selectors, length deltas, payload."""
+    codes = huffman_emit_headers(acc, used, selectors, lengths, table_count)
     # payload (vectorized): per-symbol (code, len) by its chunk's selector
     rle2 = np.asarray(rle2, dtype=np.int64)
     sel_per_sym = np.repeat(selectors, GROUP_SIZE)[: rle2.size]

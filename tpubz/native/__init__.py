@@ -63,6 +63,10 @@ def get_lib():
                 ctypes.c_int32,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ]
+            lib.tpubz_code_lengths.restype = None
+            lib.tpubz_code_lengths.argtypes = [
+                ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p,
+            ]
             lib.tpubz_mtf_selectors.restype = None
             lib.tpubz_mtf_selectors.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
@@ -94,6 +98,18 @@ def get_lib():
         except Exception:
             _LIB_FAILED = True
         return _LIB
+
+
+def code_lengths_native(freqs: np.ndarray, alpha: int):
+    """Exact C-bzip2 code lengths for one table (17-bit cap + flattening
+    retry). Returns int64[alpha] or None if the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    f = np.ascontiguousarray(freqs[:alpha], dtype=np.int64)
+    out = np.zeros(alpha, dtype=np.int32)
+    lib.tpubz_code_lengths(f.ctypes.data, alpha, out.ctypes.data)
+    return out.astype(np.int64)
 
 
 def mtf_selectors_native(selectors: np.ndarray):

@@ -223,60 +223,61 @@ extern "C" int64_t tpubz_decode_block(
   int64_t pos = 0;
   int64_t zeros = 0;
   int64_t bit_mult = 1;
-  int64_t group = -1;
-  int g_left = 0;
-  DecodeTable* T = nullptr;
-  while (true) {
-    if (g_left == 0) {
-      group++;
-      if (group >= (int64_t)selectors.size()) return -10;
-      T = &tables[selectors[group]];
-      g_left = kGroupSize;
-    }
-    g_left--;
-    const int maxl = T->max_len;
-    if (br.pos + T->min_len > nbits) return -1;
-    int sym, l;
-    int16_t hit = T->lut[peek(br.pos, kLutBits)];
-    if (hit >= 0) {
-      sym = hit >> 5;
-      l = hit & 31;
-    } else {
-      // lut miss => true code longer than kLutBits; for corrupt/incomplete
-      // codes max_len may still be <= kLutBits — reject before shifting
-      if (maxl <= kLutBits) return -6;
-      int64_t window = peek(br.pos, maxl);  // may peek past valid bits
-      l = kLutBits + 1 <= T->min_len ? T->min_len : kLutBits + 1;
-      int64_t code = window >> (maxl - l);
-      while (code > T->limit[l]) {
-        if (l >= maxl) return -6;
-        l++;
-        code = window >> (maxl - l);
+  bool done = false;
+  // per-group outer loop: table pointer, max_len and lut are hoisted out of
+  // the 50-symbol inner loop
+  for (int64_t group = 0; !done; group++) {
+    if (group >= (int64_t)selectors.size()) return -10;
+    const DecodeTable& T = tables[selectors[group]];
+    const int maxl = T.max_len;
+    const int16_t* lut = T.lut;
+    for (int g = 0; g < kGroupSize; g++) {
+      if (br.pos + T.min_len > nbits) return -1;
+      int sym, l;
+      int16_t hit = lut[peek(br.pos, kLutBits)];
+      if (hit >= 0) {
+        sym = hit >> 5;
+        l = hit & 31;
+      } else {
+        // lut miss => true code longer than kLutBits; for corrupt/incomplete
+        // codes max_len may still be <= kLutBits — reject before shifting
+        if (maxl <= kLutBits) return -6;
+        int64_t window = peek(br.pos, maxl);  // may peek past valid bits
+        l = kLutBits + 1 <= T.min_len ? T.min_len : kLutBits + 1;
+        int64_t code = window >> (maxl - l);
+        while (code > T.limit[l]) {
+          if (l >= maxl) return -6;
+          l++;
+          code = window >> (maxl - l);
+        }
+        sym = T.syms[T.off[l] + code - T.base[l]];
       }
-      sym = T->syms[T->off[l] + code - T->base[l]];
+      if (br.pos + l > nbits) return -1;
+      br.pos += l;
+      if (sym <= 1) {  // RUNA / RUNB
+        zeros += bit_mult * (sym + 1);
+        bit_mult <<= 1;
+        if (zeros > kZeroBomb) return -8;
+        continue;
+      }
+      if (zeros) {
+        if (pos + zeros > max_size) return -7;
+        std::memset(&mtf_out[pos], mtf[0], zeros);
+        pos += zeros;
+        zeros = 0;
+        bit_mult = 1;
+      }
+      if (sym == eob) {
+        done = true;
+        break;
+      }
+      int r = sym - 1;
+      uint8_t b = mtf[r];
+      std::memmove(&mtf[1], &mtf[0], r);
+      mtf[0] = b;
+      if (pos >= max_size) return -7;
+      mtf_out[pos++] = b;
     }
-    if (br.pos + l > nbits) return -1;
-    br.pos += l;
-    if (sym <= 1) {  // RUNA / RUNB
-      zeros += bit_mult * (sym + 1);
-      bit_mult <<= 1;
-      if (zeros > kZeroBomb) return -8;
-      continue;
-    }
-    if (zeros) {
-      if (pos + zeros > max_size) return -7;
-      std::memset(&mtf_out[pos], mtf[0], zeros);
-      pos += zeros;
-      zeros = 0;
-      bit_mult = 1;
-    }
-    if (sym == eob) break;
-    int r = sym - 1;
-    uint8_t b = mtf[r];
-    std::memmove(&mtf[1], &mtf[0], r);
-    mtf[0] = b;
-    if (pos >= max_size) return -7;
-    mtf_out[pos++] = b;
   }
   *end_bit = br.pos;
   *block_crc_out = blk_crc;

@@ -231,6 +231,15 @@ extern "C" int64_t tpubz_refine_stream(const uint16_t* syms, int64_t rle2_len,
   return best_bits;
 }
 
+// Single tree build: exact BZ2_hbMakeCodeLengths lengths from a frequency
+// table. Used by the device-refinement path, where per-chunk cost/argmin and
+// frequency accumulation run on the accelerator and only the 6 tiny tree
+// builds per pass run on host (reference huffman_code_from_weights.rs:17-109).
+extern "C" void tpubz_code_lengths(const int64_t* freq, int32_t alpha,
+                                   int32_t* lens_out) {
+  c_code_lengths(freq, alpha, lens_out);
+}
+
 // Selector MTF transform (encode side): selectors -> MTF indices
 // (reference src/huffman_coding/huffman.rs:237-275).
 extern "C" void tpubz_mtf_selectors(const int32_t* sel, int64_t n,

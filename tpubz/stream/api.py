@@ -6,11 +6,15 @@ with Huffman refinement in the native C++ engine. Output is byte-identical
 to the host reference (and therefore decodable by reference bzip2).
 
 Parallelism: the reference overlaps block compression via a rayon pool with
-an ordered channel fan-in (src/compression/compress.rs:69-132). Here JAX's
-async dispatch gives the same overlap with no extra machinery: device
-transforms for a sliding window of upcoming blocks are enqueued ahead while
-the host refines/emits earlier blocks, and results are drained in block
-order — the ordered gather is just the drain order.
+an ordered channel fan-in (src/compression/compress.rs:69-132). Here the
+same overlap is a 3-stage pipeline:
+
+  main thread      -- async device dispatch for a sliding window of blocks
+  fetch pool       -- device->host transfers (device_get releases the GIL)
+  emit pool        -- per-block CRC + Huffman refinement (native engine,
+                      GIL-free) + emission, several blocks concurrently
+  main thread      -- ordered drain: stream-CRC fold + bit splice in block
+                      order (the reference's writer-thread reorder queue)
 """
 from __future__ import annotations
 
@@ -28,6 +32,14 @@ from ..hostref.bitio import BitAccum
 from ..hostref.rle1 import rle1_blocks
 
 WINDOW = int(os.environ.get("TPUBZ_WINDOW", "16"))
+# device-refine path: refinement argmin/rfreq + payload packing on device,
+# only sidecars + packed bits cross the link (VERDICT r1 items 1-2). Its
+# per-block link round trips are latency-bound, so it runs with more emit
+# workers to keep the device busy.
+DEVICE_REFINE = os.environ.get("TPUBZ_DEVICE_REFINE", "1") != "0"
+EMIT_THREADS = int(
+    os.environ.get("TPUBZ_EMIT_THREADS", "6" if DEVICE_REFINE else "3")
+)
 
 _encoders: dict[int, object] = {}
 
@@ -71,9 +83,6 @@ def compress(data: bytes | np.ndarray, level: int = 9) -> bytes:
         else np.asarray(data, dtype=np.uint8)
     )
     enc = _encoder(level)
-    from concurrent.futures import ThreadPoolExecutor
-
-    from ..block.encode import DeviceBlockEncoder, materialize
 
     acc = BitAccum()
     for b in STREAM_MAGIC:
@@ -81,45 +90,66 @@ def compress(data: bytes | np.ndarray, level: int = 9) -> bytes:
     acc.put(0x30 + level, 8)
     out, blocks = rle1_blocks(arr, block_budget(level))
     s_crc = 0
-    inflight: deque = deque()
-    # device->host fetches run on a side thread (device_get releases the
-    # GIL) so each block's transfer overlaps the previous block's emission
-    fetch_pool = ThreadPoolExecutor(2)
-
-    def drain_one():
-        nonlocal s_crc
-        (i0, i1), mat_fut = inflight.popleft()
-        key, syms, rle2_len, freqs, used = mat_fut.result()
-        crc = block_crc(arr[i0:i1])
-        s_crc = stream_crc_fold(s_crc, crc)
-        blk = DeviceBlockEncoder.emit_block(
-            key, syms, rle2_len, freqs, used, crc
-        )
-        vals, bits = blk.arrays()
-        acc.extend(vals, bits)
-
-    try:
-        if isinstance(enc, _HostFallbackEncoder):
-            for (o0, o1, i0, i1) in blocks:
-                crc = block_crc(arr[i0:i1])
-                s_crc = stream_crc_fold(s_crc, crc)
-                blk = enc.encode_block(out[o0:o1], crc)
-                vals, bits = blk.arrays()
-                acc.extend(vals, bits)
-        else:
-            for (o0, o1, i0, i1) in blocks:
-                fut = enc.transform(out[o0:o1])
-                inflight.append(((i0, i1), fetch_pool.submit(materialize, fut)))
-                # queue-depth observability, mirroring the reference's RX
-                # queue logging (compress.rs:81-85)
-                log.debug("in-flight device blocks: %d", len(inflight))
-                if len(inflight) >= WINDOW:
-                    drain_one()
-            while inflight:
-                drain_one()
-    finally:
-        fetch_pool.shutdown(wait=False)
+    if isinstance(enc, _HostFallbackEncoder):
+        for (o0, o1, i0, i1) in blocks:
+            crc = block_crc(arr[i0:i1])
+            s_crc = stream_crc_fold(s_crc, crc)
+            blk = enc.encode_block(out[o0:o1], crc)
+            vals, bits = blk.arrays()
+            acc.extend(vals, bits)
+    else:
+        for crc, vals, bits in _device_block_results(enc, arr, out, blocks):
+            s_crc = stream_crc_fold(s_crc, crc)
+            acc.extend(vals, bits)
     acc.put(FOOTER_MAGIC, 48)
     acc.put(s_crc, 32)
     payload, _ = acc.pack()
     return payload
+
+
+def _device_block_results(enc, arr, out, blocks):
+    """Run blocks through the device pipeline; yield (crc, vals, bits) in
+    block order while later blocks are still in flight."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..block.encode import DeviceBlockEncoder, materialize
+
+    inflight: deque = deque()
+    # device->host fetches run on a side thread pool (device_get releases
+    # the GIL) so each block's transfer overlaps other blocks' work; the
+    # emit pool runs CRC + native refinement (also GIL-free) + emission for
+    # several blocks concurrently.
+    fetch_pool = ThreadPoolExecutor(2)
+    emit_pool = ThreadPoolExecutor(EMIT_THREADS)
+
+    def emit(fetch_fut, i0, i1):
+        key, syms, rle2_len, freqs, used = fetch_fut.result()
+        crc = block_crc(arr[i0:i1])
+        blk = DeviceBlockEncoder.emit_block(key, syms, rle2_len, freqs, used, crc)
+        vals, bits = blk.arrays()
+        return crc, vals, bits
+
+    def emit_devrefine(trans_out, i0, i1):
+        crc = block_crc(arr[i0:i1])
+        blk = enc.encode_block_devrefine(trans_out, crc)
+        vals, bits = blk.arrays()
+        return crc, vals, bits
+
+    try:
+        for (o0, o1, i0, i1) in blocks:
+            fut = enc.transform(out[o0:o1])
+            if DEVICE_REFINE:
+                inflight.append(emit_pool.submit(emit_devrefine, fut, i0, i1))
+            else:
+                fetch_fut = fetch_pool.submit(materialize, fut)
+                inflight.append(emit_pool.submit(emit, fetch_fut, i0, i1))
+            # queue-depth observability, mirroring the reference's RX queue
+            # logging (compress.rs:81-85)
+            log.debug("in-flight device blocks: %d", len(inflight))
+            if len(inflight) >= WINDOW:
+                yield inflight.popleft().result()
+        while inflight:
+            yield inflight.popleft().result()
+    finally:
+        fetch_pool.shutdown(wait=False)
+        emit_pool.shutdown(wait=False)

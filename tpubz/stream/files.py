@@ -56,8 +56,7 @@ def compress_stream(fin: io.RawIOBase, fout: io.RawIOBase, level: int = 9) -> in
     (total output bits // 8 rounded up)."""
     if not 1 <= level <= 9:
         raise ValueError("level must be 1..9")
-    from .api import _encoder
-    from ..block.encode import DeviceBlockEncoder
+    from .api import _HostFallbackEncoder, _device_block_results, _encoder
 
     enc = _encoder(level)
     sink = _BitSink(fout)
@@ -98,12 +97,18 @@ def compress_stream(fin: io.RawIOBase, fout: io.RawIOBase, level: int = 9) -> in
         else:
             keep = blocks
             carry = np.zeros(0, np.uint8)
-        for (o0, o1, i0, i1) in keep:
-            crc = block_crc(data[i0:i1])
-            s_crc = stream_crc_fold(s_crc, crc)
-            blk = enc.encode_block(out[o0:o1], crc)
-            sink.write_fields(*blk.arrays())
-            wrote_block = True
+        if isinstance(enc, _HostFallbackEncoder):
+            for (o0, o1, i0, i1) in keep:
+                crc = block_crc(data[i0:i1])
+                s_crc = stream_crc_fold(s_crc, crc)
+                blk = enc.encode_block(out[o0:o1], crc)
+                sink.write_fields(*blk.arrays())
+                wrote_block = True
+        else:
+            for crc, vals, bits in _device_block_results(enc, data, out, keep):
+                s_crc = stream_crc_fold(s_crc, crc)
+                sink.write_fields(vals, bits)
+                wrote_block = True
     footer = BitAccum()
     footer.put(FOOTER_MAGIC, 48)
     footer.put(s_crc, 32)
