@@ -1,0 +1,86 @@
+"""Multi-host compression layer: single-process on the virtual 8-device CPU
+mesh, and a REAL 2-process run with jax.distributed over a 4-device CPU mesh
+(SURVEY.md §4's 'multi-node without a real cluster' strategy)."""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+def _mixed_input(rng, n=260_000):
+    return (
+        bytes(rng.integers(0, 200, n // 2, dtype=np.uint8))
+        + b"m" * (n // 4)
+        + bytes(rng.integers(0, 8, n // 4, dtype=np.uint8))
+    )
+
+
+def test_multihost_singleprocess_matches_hostref(rng):
+    from tpubz.dist.multihost import compress_multihost
+    from tpubz.hostref.stream import compress, decompress
+
+    d = _mixed_input(rng)
+    got = compress_multihost(d, 1)
+    assert got == compress(d, 1)
+    assert decompress(got) == d
+
+
+WORKER = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid = int(sys.argv[1])
+jax.distributed.initialize(sys.argv[2], num_processes=2, process_id=pid)
+import numpy as np
+rng = np.random.default_rng(321)
+n = 260_000
+d = (bytes(rng.integers(0, 200, n // 2, dtype=np.uint8))
+     + b"m" * (n // 4)
+     + bytes(rng.integers(0, 8, n // 4, dtype=np.uint8)))
+from tpubz.dist.multihost import compress_multihost
+out = compress_multihost(d, 1)
+if pid == 0:
+    # write to a file: Gloo prints rank-connection logs to stdout
+    open(sys.argv[3], "wb").write(out)
+"""
+
+
+@pytest.mark.slow
+def test_multihost_two_processes(tmp_path):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER)
+    coord = "localhost:12411"
+    out_file = tmp_path / "out.bz2"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(i), coord, str(out_file)],
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.PIPE,
+            env=env,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=240) for p in procs]
+    for p, (o, e) in zip(procs, outs):
+        assert p.returncode == 0, e.decode()[-2000:]
+    stream = out_file.read_bytes()
+
+    rng = np.random.default_rng(321)
+    n = 260_000
+    d = (
+        bytes(rng.integers(0, 200, n // 2, dtype=np.uint8))
+        + b"m" * (n // 4)
+        + bytes(rng.integers(0, 8, n // 4, dtype=np.uint8))
+    )
+    from tpubz.hostref.stream import compress, decompress
+
+    assert stream == compress(d, 1)
+    assert decompress(stream) == d

@@ -1,7 +1,10 @@
 """Pallas kernels validated in interpreter mode on the CPU mesh.
 
-(Real-TPU compilation of these kernels is exercised by bench runs; the
-interpreter checks semantics against the jnp formulations they replace.)
+The interpreter checks semantics against the jnp formulations they replace.
+The production MTF stage uses the jnp formulation by default (the Pallas
+kernel compiles and matches on real TPU but measured no faster there --
+see PERFORMANCE.md); enabling it via mtf_ranks(use_pallas=True) is covered
+by these semantic tests plus the TPU measurement protocol in the bench.
 """
 import numpy as np
 import pytest

@@ -10,7 +10,17 @@ block CRC, falling back to serial continuation on a false positive.
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
+
+# TPUBZ_DEVICE_IBWT=1 routes block decode through the Python envelope
+# decoder with the device pointer-doubling inverse-BWT kernel
+# (tpubz/kernels/ibwt.py) instead of the native host chase. The native
+# decoder is faster on this rig (the chase rides one cache-missing load per
+# step while the relay caps device throughput); the device path exists for
+# locally-attached hardware and is kept correct by tests.
+DEVICE_IBWT = os.environ.get("TPUBZ_DEVICE_IBWT", "0") == "1"
 
 from ..format.constants import BLOCK_MAGIC, FOOTER_MAGIC, STREAM_MAGIC
 from ..format.crc import block_crc, stream_crc_fold
@@ -86,9 +96,10 @@ def _decompress_one(data: bytes) -> tuple[bytes, int]:
     from ..native import decode_block_native, get_lib
 
     arr = np.frombuffer(data, dtype=np.uint8)
+    use_native = get_lib() is not None and not DEVICE_IBWT
     futures: dict[int, object] = {}
     ex = None
-    if get_lib() is not None:
+    if use_native:
         # Bound the candidate scan at this stream's footer: blocks beyond
         # the first footer-magic hit belong to subsequent concatenated
         # streams (or are payload false positives) — pre-decoding them with
@@ -133,12 +144,14 @@ def _decompress_one(data: bytes) -> tuple[bytes, int]:
             res = futures[pos].result() if pos in futures else None
             if res is not None:
                 raw, end_bit, blk_crc, actual = res
-            elif get_lib() is not None:
+            elif use_native:
                 raw, end_bit, blk_crc, actual = decode_block_native(
                     arr, pos + 48, level
                 )
             else:
-                raw, blk_crc = decode_block(first48, level)
+                raw, blk_crc = decode_block(
+                    first48, level, use_device_ibwt=DEVICE_IBWT
+                )
                 end_bit = first48.pos
                 actual = block_crc(raw)
             if actual != blk_crc:
