@@ -43,3 +43,32 @@ def test_parse_rejects_unknown():
 def test_verbosity_stacking():
     assert parse_args(["-vvv"]).verbosity == 3
     assert parse_args(["-v", "-v"]).verbosity == 2
+
+
+def test_iterations_flag(rng, tmp_path, monkeypatch):
+    """--iterations controls refinement pass count (clamped >= 4); more
+    passes can only keep or shrink output (best-snapshot rule)."""
+    import subprocess
+
+    from tpubz.format.constants import huffman_iters, set_huffman_iters
+    from tpubz.hostref.stream import compress
+
+    d = bytes(rng.integers(0, 150, 120_000, dtype=np.uint8))
+    try:
+        set_huffman_iters(4)
+        assert huffman_iters() == 4
+        c4 = len(compress(d, 1))
+        set_huffman_iters(2)
+        assert huffman_iters() == 4  # clamped: C-faithful trajectory needs 4
+        set_huffman_iters(12)
+        c12 = len(compress(d, 1))
+        assert c12 <= c4
+    finally:
+        set_huffman_iters(None)
+    ref = len(subprocess.run(["bzip2", "-1", "-c"], input=d, capture_output=True).stdout)
+    assert c4 <= ref
+
+    from tpubz.cli import parse_args
+
+    o = parse_args(["--iterations=6", "-1"])
+    assert o.iterations == 6 and o.level == 1

@@ -14,16 +14,19 @@ host reference, the full device-path stream is byte-identical to
 from __future__ import annotations
 
 import functools
+import logging
 import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+log = logging.getLogger("tpubz")
+
 from ..format.constants import (
     BLOCK_MAGIC,
     GROUP_SIZE,
-    HUFFMAN_ITERS,
+    huffman_iters,
     group_count_for,
 )
 from ..hostref.bitio import BitAccum
@@ -202,7 +205,7 @@ class DeviceBlockEncoder:
         tc = group_count_for(rle2_len)
         nsel = (rle2_len + GROUP_SIZE - 1) // GROUP_SIZE
         lens = c_init_tables(freqs.astype(np.int64), tc, alpha)
-        iters = max(HUFFMAN_ITERS, 4)
+        iters = huffman_iters()
         best = None
         stale = 0
         for it in range(iters):
@@ -261,6 +264,14 @@ class DeviceBlockEncoder:
             cap *= 2
         cap = min(cap, words_d.shape[0])
         words, total = jax.device_get((words_d[:cap], total_d))
-        assert int(total) == payload_bits, "device payload bits diverged"
+        if int(total) != payload_bits:
+            # cross-check failed (would indicate a non-exact matmul or a
+            # backend bug): fall back to the host emission path rather than
+            # emit a corrupt stream
+            log.error(
+                "device payload bits diverged (%d != %d); host fallback",
+                int(total), payload_bits,
+            )
+            return self.emit_block(*materialize(trans_out), crc)
         acc.put_words(np.asarray(words), payload_bits)
         return acc

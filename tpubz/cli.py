@@ -37,6 +37,8 @@ HELP = """usage: tpubz [flags and input files in any order]
    -1 .. -9            set block size to 100k .. 900k
    --fast              alias for -1
    --best              alias for -9
+   --iterations=N      Huffman refinement passes (default 8, min 4;
+                       more passes can only shrink output)
 
    If invoked as `bunzip2', default action is to decompress.
               as `bzcat', default action is to decompress to stdout.
@@ -58,6 +60,7 @@ class Opts:
         self.verbosity = 0
         self.files: list[str] = []
         self.engine = "auto"  # auto | host | device
+        self.iterations: int | None = None
 
 
 def parse_args(argv: list[str], prog: str = "tpubz") -> Opts:
@@ -117,7 +120,12 @@ def parse_args(argv: list[str], prog: str = "tpubz") -> Opts:
     }
     for arg in argv:
         if arg.startswith("--"):
-            if arg == "--host-engine":
+            if arg.startswith("--iterations="):
+                try:
+                    o.iterations = int(arg.split("=", 1)[1])
+                except ValueError:
+                    raise SystemExit(f"tpubz: bad value in {arg} (see --help)")
+            elif arg == "--host-engine":
                 o.engine = "host"
             elif arg == "--device-engine":
                 o.engine = "device"
@@ -182,6 +190,10 @@ def _setup_logging(o: Opts):
 def run(argv: list[str], prog: str = "tpubz") -> int:
     o = parse_args(argv, prog)
     _setup_logging(o)
+    if o.iterations is not None:
+        from .format.constants import set_huffman_iters
+
+        set_huffman_iters(o.iterations)
     compress = _compress_fn(o) if o.mode == "zip" else None
     decompress = _decompress_fn() if o.mode in ("unzip", "test") else None
 

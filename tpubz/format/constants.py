@@ -51,6 +51,26 @@ HUFFMAN_ITERS = 8          # refinement passes; the reference hardcodes 4
                            # best snapshot by exact emitted size, so extra
                            # passes can only shrink output
 
+_iters_override: int | None = None
+
+
+def huffman_iters() -> int:
+    """Effective refinement pass count: --iterations / TPUBZ_ITERATIONS
+    override (the reference parses-but-ignores its `iterations` option,
+    cli.rs:72), clamped to >= 4 — the first 4 passes are the C-faithful
+    trajectory that pins the <=-C-size guarantee."""
+    if _iters_override is not None:
+        return _iters_override
+    import os
+
+    v = os.environ.get("TPUBZ_ITERATIONS")
+    return max(4, int(v)) if v else HUFFMAN_ITERS
+
+
+def set_huffman_iters(n: int | None) -> None:
+    global _iters_override
+    _iters_override = None if n is None else max(4, int(n))
+
 
 def group_count_for(rle2_len: int) -> int:
     """Number of Huffman tables by RLE2 symbol count.

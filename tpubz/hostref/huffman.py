@@ -27,7 +27,7 @@ log = logging.getLogger("tpubz")
 
 from ..format.constants import (
     GROUP_SIZE,
-    HUFFMAN_ITERS,
+    huffman_iters,
     MAX_CODE_LEN_DECODE,
     MAX_CODE_LEN_ENCODE,
     group_count_for,
@@ -319,7 +319,7 @@ def refine_from_hist(
     # C encoder's exact choices, so the result is never larger than C's.
     _, selectors, lengths = refine(
         c_init_tables(freqs, table_count, alpha),
-        max(HUFFMAN_ITERS, 4),
+        huffman_iters(),
         c_code_lengths,
         True,
     )
@@ -332,7 +332,7 @@ def refine_stream(rle2: np.ndarray, freqs: np.ndarray, alpha: int):
     cross-checked in tests), numpy/python fallback otherwise."""
     from ..native import refine_stream_native
 
-    nat = refine_stream_native(np.asarray(rle2, dtype=np.uint16), alpha, HUFFMAN_ITERS)
+    nat = refine_stream_native(np.asarray(rle2, dtype=np.uint16), alpha, huffman_iters())
     if nat is not None:
         return nat
     return assign_selectors_and_lengths(rle2, freqs, alpha)
