@@ -184,21 +184,30 @@ def decode_block_native(data: np.ndarray, start_bit: int, level: int):
     Returns (raw bytes ndarray, end_bit, stream_blk_crc, computed_crc) or
     None if the native lib is unavailable. Raises ValueError on corrupt
     blocks. `data` must be a contiguous uint8 array of the whole stream.
+
+    Output buffer is tiered: the RLE1 worst case is a 52x expansion
+    (255 bytes per 5), but real blocks rarely exceed ~1.3x, so the first
+    attempt uses a 2x+slack buffer and only retries with the full
+    worst-case allocation on overflow — this keeps dozens of in-flight
+    parallel block decodes from each touching a 46MB buffer.
     """
     lib = get_lib()
     if lib is None:
         return None
     nbits = data.size * 8
-    cap = level * 100_000 * 52 + 1024  # RLE1 worst-case expansion (255/5)
-    out = np.empty(cap, dtype=np.uint8)
     end_bit = np.zeros(1, dtype=np.int64)
     blk_crc = np.zeros(1, dtype=np.uint32)
     comp_crc = np.zeros(1, dtype=np.uint32)
-    rc = lib.tpubz_decode_block(
-        data.ctypes.data, nbits, start_bit, level,
-        out.ctypes.data, cap,
-        end_bit.ctypes.data, blk_crc.ctypes.data, comp_crc.ctypes.data,
-    )
+    rc = -9
+    for cap in (level * 100_000 * 2 + 65536, level * 100_000 * 52 + 1024):
+        out = np.empty(cap, dtype=np.uint8)
+        rc = lib.tpubz_decode_block(
+            data.ctypes.data, nbits, start_bit, level,
+            out.ctypes.data, cap,
+            end_bit.ctypes.data, blk_crc.ctypes.data, comp_crc.ctypes.data,
+        )
+        if rc != -9:
+            break
     if rc < 0:
         reasons = {
             -1: "bitstream exhausted (truncated block)",

@@ -134,6 +134,8 @@ def decompress_stream(fin: io.RawIOBase, fout: io.RawIOBase) -> int:
     from ..hostref.block import decode_block
     from ..format.crc import block_crc
 
+    from concurrent.futures import ThreadPoolExecutor
+
     window = max(WINDOW_BYTES, 64 * 1024)
     buf = b""
     eof = False
@@ -142,7 +144,18 @@ def decompress_stream(fin: io.RawIOBase, fout: io.RawIOBase) -> int:
     level = None
     s_crc = 0
     in_stream = False
-    while True:
+    # parallel pre-decode: candidate block magics in the buffered window are
+    # decoded ahead on a thread pool (the native decoder is GIL-free), the
+    # serial walk consumes the results — the in-memory decoder's strategy
+    # (stream/decode.py) applied to the bounded-memory path. Appends keep
+    # bit offsets stable. A window re-base shifts offsets; futures survive it
+    # (each decodes from its own buffer snapshot held by the closure) with a
+    # recorded bit shift applied to their end_bit on consumption.
+    pool: ThreadPoolExecutor | None = None
+    predec: dict[int, list] = {}  # pos -> [future, bit_shift]
+    scanned = 0
+    try:
+      while True:
         # top up: keep at least ~2 windows of unconsumed bytes buffered
         while not eof and len(buf) - pos // 8 < 2 * window:
             chunk = fin.read(window)
@@ -150,11 +163,42 @@ def decompress_stream(fin: io.RawIOBase, fout: io.RawIOBase) -> int:
                 eof = True
                 break
             buf += chunk
-        # drop consumed whole bytes
+        # drop consumed whole bytes once a window's worth accumulates
+        # (re-basing shifts offsets, so it also drops pre-decoded results)
         drop = pos // 8
-        if drop:
+        if drop >= window:
             buf = buf[drop:]
             pos -= drop * 8
+            shifted: dict[int, list] = {}
+            for k, (f, sh) in predec.items():
+                if k - drop * 8 >= pos:
+                    shifted[k - drop * 8] = [f, sh + drop * 8]
+                else:
+                    f.cancel()
+            predec = shifted
+            scanned = max(scanned - drop, 0)
+        if in_stream and level is not None and len(buf) > scanned and get_lib() is not None:
+            arr_scan = np.frombuffer(buf, np.uint8)
+            lo = max(scanned - 7, 0)
+            from ..native import find_magic_native
+
+            hits = find_magic_native(arr_scan[lo:], BLOCK_MAGIC)
+            if hits is not None:
+                if pool is None:
+                    pool = ThreadPoolExecutor(4)
+                lvl = level
+
+                def _try(b0, a=arr_scan, lv=lvl):
+                    try:
+                        return decode_block_native(a, b0 + 48, lv)
+                    except ValueError:
+                        return None
+
+                for h in hits:
+                    b0 = int(h) + lo * 8
+                    if b0 >= pos and b0 not in predec:
+                        predec[b0] = [pool.submit(_try, b0), 0]
+            scanned = len(buf)
         if not in_stream:
             if pos // 8 >= len(buf):
                 break  # clean end between streams
@@ -191,8 +235,14 @@ def decompress_stream(fin: io.RawIOBase, fout: io.RawIOBase) -> int:
         if tag != BLOCK_MAGIC:
             raise ValueError("invalid block header magic")
         arr = np.frombuffer(buf, np.uint8)
+        entry = predec.pop(pos, None)
+        res = entry[0].result() if entry is not None else None
         try:
-            if get_lib() is not None:
+            if res is not None:
+                raw, end_bit, blk_crc, actual = res
+                end_bit -= entry[1]
+                raw = raw.tobytes()
+            elif get_lib() is not None:
                 raw, end_bit, blk_crc, actual = decode_block_native(
                     arr, pos + 48, level
                 )
@@ -227,6 +277,11 @@ def decompress_stream(fin: io.RawIOBase, fout: io.RawIOBase) -> int:
         fout.write(raw)
         total += len(raw)
         pos = end_bit
+    finally:
+        if pool is not None:
+            for f, _ in predec.values():
+                f.cancel()
+            pool.shutdown(wait=False)
     return total
 
 
