@@ -69,3 +69,21 @@ def test_devrefine_emit_matches_host_emit(rng):
         from tpubz.hostref.bitio import pack_bits
 
         assert pack_bits(*dev_acc.arrays()) == pack_bits(*host_acc.arrays())
+
+
+@pytest.mark.slow
+def test_device_stream_batched_byte_identical(rng):
+    """>= BATCH blocks routes through the batched multi-block device path
+    (B blocks per launch) plus a per-block remainder; bytes must match the
+    host reference exactly."""
+    from tpubz.stream import api
+
+    d = (
+        bytes(rng.integers(0, 64, 500_000, dtype=np.uint8))
+        + b"the quick brown fox\n" * 12_000
+        + bytes(rng.integers(0, 256, 150_000, dtype=np.uint8))
+    )
+    assert api.BATCH > 1
+    c_dev = api.compress(d, 1)  # ~9 blocks at level 1: 8 batched + 1 single
+    assert c_dev == host_compress(d, 1)
+    assert decompress(c_dev) == d

@@ -103,6 +103,52 @@ def _stage_compact(syms, rle2_len):
     return syms.astype(jnp.uint8), hi_packed, jnp.sum(is_hi.astype(jnp.int32))
 
 
+# ---------------------------------------------------------------------------
+# batched (multi-block-per-call) stages: on a relay-attached chip each
+# executable launch costs ~50ms regardless of size, so B blocks per call
+# amortizes launch overhead B-fold; on locally-attached chips batching keeps
+# the MXU/VPU fed between host round trips. vmap over the same kernels the
+# per-block path uses (skip_converged=False: under vmap lax.cond degenerates
+# to select anyway).
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _stage_bwt_b(data, n):
+    return jax.vmap(lambda d, m: bwt_forward(d, m, skip_converged=False))(data, n)
+
+
+@jax.jit
+def _stage_mtf_b(last, n):
+    return jax.vmap(lambda l, m: mtf_ranks(l, m, chunk=MTF_CHUNK))(last, n)
+
+
+@jax.jit
+def _stage_rle2hist_b(ranks, n, used):
+    from ..kernels.huffman_dev import chunk_hist
+
+    def f(r, m, u):
+        eob = jnp.sum(u).astype(jnp.int32) + 1
+        syms, rle2_len, freqs = rle2_encode(r, m, eob)
+        return syms, rle2_len, freqs, chunk_hist(syms, rle2_len)
+
+    return jax.vmap(f)(ranks, n, used)
+
+
+@jax.jit
+def _refine_pass_b(hist, lens, tc):
+    from ..kernels.huffman_dev import refine_pass
+
+    return jax.vmap(refine_pass)(hist, lens, tc)
+
+
+@jax.jit
+def _pack_b(syms, rle2_len, sel, codes, lens):
+    from ..kernels.huffman_dev import pack_payload
+
+    return jax.vmap(pack_payload)(syms, rle2_len, sel, codes, lens)
+
+
 def _transform(data, n):
     """data uint8[N] (first n valid) -> (key, syms, rle2_len, freqs, used).
 
@@ -275,3 +321,142 @@ class DeviceBlockEncoder:
             return self.emit_block(*materialize(trans_out), crc)
         acc.put_words(np.asarray(words), payload_bits)
         return acc
+
+    def transform_batch(self, rle1_blocks_list):
+        """B blocks -> one batched device pipeline invocation (3 launches).
+
+        Returns (key[B], syms[B,OUT], rle2_len[B], freqs[B,258], used[B,256],
+        hist[B,NSEL,258]) device arrays.
+        """
+        B = len(rle1_blocks_list)
+        pad = np.zeros((B, self.N), np.uint8)
+        ns = np.zeros(B, np.int32)
+        for i, blk in enumerate(rle1_blocks_list):
+            pad[i, : blk.size] = blk
+            ns[i] = max(blk.size, 1)
+        data = jnp.asarray(pad)
+        n = jnp.asarray(ns)
+        key, last = _stage_bwt_b(data, n)
+        ranks, used = _stage_mtf_b(last, n)
+        syms, rle2_len, freqs, hist = _stage_rle2hist_b(ranks, n, used)
+        return key, syms, rle2_len, freqs, used, hist
+
+    def encode_batch_devrefine(self, tr, crcs) -> list:
+        """Batched device refinement + packing: the per-pass argmin/rfreq and
+        the payload pack run ONCE per batch (one launch each), with the
+        per-block tree builds and snapshot tracking on host. Byte-identical
+        to emit_block per block (same trajectory, same snapshot + early-stop
+        rule applied per block)."""
+        from ..kernels.huffman_dev import nsel_cap
+        from ..native import code_lengths_native
+
+        key_d, syms_d, rle2_len_d, freqs_d, used_d, hist_d = tr
+        key_a, len_a, freqs_a, used_a = jax.device_get(
+            (key_d, rle2_len_d, freqs_d, used_d)
+        )
+        B = len(crcs)
+        alphas = [int(used_a[b].sum()) + 2 for b in range(B)]
+        tcs = np.array(
+            [group_count_for(int(len_a[b])) for b in range(B)], np.int32
+        )
+        nsels = [
+            (int(len_a[b]) + GROUP_SIZE - 1) // GROUP_SIZE for b in range(B)
+        ]
+        lens_all = np.zeros((B, 6, 258), np.int64)
+        for b in range(B):
+            lens_all[b] = c_init_tables(
+                freqs_a[b].astype(np.int64), int(tcs[b]), alphas[b]
+            )
+        iters = huffman_iters()
+        best = [None] * B
+        stale = [0] * B
+        stopped = [False] * B
+        for it in range(iters):
+            if all(stopped):
+                break
+            sel_d, rfreq_d = _refine_pass_b(
+                hist_d, jnp.asarray(lens_all, jnp.int32), jnp.asarray(tcs)
+            )
+            sel_a, rfreq_a = jax.device_get((sel_d, rfreq_d))
+            for b in range(B):
+                if stopped[b]:
+                    continue
+                alpha, tc, nsel = alphas[b], int(tcs[b]), nsels[b]
+                sel = sel_a[b, :nsel].astype(np.int64)
+                rfreq64 = rfreq_a[b].astype(np.int64)
+                for t in range(tc):
+                    cl = code_lengths_native(rfreq64[t], alpha)
+                    if cl is None:
+                        cl = c_code_lengths(rfreq64[t], alpha)
+                    lens_all[b, t, :alpha] = cl
+                payload = int(
+                    (rfreq64[:tc, :alpha] * lens_all[b, :tc, :alpha]).sum()
+                )
+                sel_bits = int(mtf_selectors(sel, tc).sum()) + nsel
+                dl = int(
+                    np.abs(np.diff(lens_all[b, :tc, :alpha], axis=1)).sum()
+                )
+                bits = payload + sel_bits + dl * 2 + tc * (alpha + 5)
+                if best[b] is None or bits < best[b][0]:
+                    best[b] = (bits, sel, lens_all[b].copy(), rfreq64.copy())
+                    stale[b] = 0
+                else:
+                    stale[b] += 1
+                if it >= 3 and stale[b] >= 2:
+                    stopped[b] = True
+        # batched pack with each block's best snapshot
+        NSEL = nsel_cap(syms_d.shape[1])
+        codes_pad = np.zeros((B, 6, 258), np.uint32)
+        lens_pad = np.zeros((B, 6, 258), np.int32)
+        sel_pad = np.zeros((B, NSEL), np.int8)
+        headers = []
+        payload_bits_all = []
+        for b in range(B):
+            _, sel_b, lens_b, rfreq_b = best[b]
+            alpha, tc = alphas[b], int(tcs[b])
+            payload_bits_all.append(
+                int((rfreq_b[:tc, :alpha] * lens_b[:tc, :alpha]).sum())
+            )
+            acc = BitAccum()
+            acc.put(BLOCK_MAGIC, 48)
+            acc.put(crcs[b], 32)
+            acc.put(0, 1)
+            acc.put(int(key_a[b]), 24)
+            codes = huffman_emit_headers(
+                acc, used_a[b], sel_b, lens_b[:, :alpha], tc
+            )
+            codes_pad[b, :tc, :alpha] = codes
+            lens_pad[b, :tc, :alpha] = lens_b[:tc, :alpha]
+            sel_pad[b, : nsels[b]] = sel_b
+            headers.append(acc)
+        words_d, total_d = _pack_b(
+            syms_d,
+            rle2_len_d,
+            jnp.asarray(sel_pad),
+            jnp.asarray(codes_pad),
+            jnp.asarray(lens_pad),
+        )
+        max_words = max((pb + 31) // 32 for pb in payload_bits_all)
+        cap = 4096
+        while cap < max_words:
+            cap *= 2
+        cap = min(cap, words_d.shape[1])
+        words_a, totals = jax.device_get((words_d[:, :cap], total_d))
+        accs = []
+        for b in range(B):
+            if int(totals[b]) != payload_bits_all[b]:
+                log.error(
+                    "device payload bits diverged for block %d; host fallback", b
+                )
+                syms_b = np.asarray(syms_d[b])
+                accs.append(
+                    self.emit_block(
+                        int(key_a[b]), syms_b, int(len_a[b]), freqs_a[b],
+                        used_a[b], crcs[b],
+                    )
+                )
+                continue
+            acc = headers[b]
+            acc.put_words(np.asarray(words_a[b]), payload_bits_all[b])
+            accs.append(acc)
+        return accs

@@ -40,6 +40,10 @@ DEVICE_REFINE = os.environ.get("TPUBZ_DEVICE_REFINE", "1") != "0"
 EMIT_THREADS = int(
     os.environ.get("TPUBZ_EMIT_THREADS", "6" if DEVICE_REFINE else "3")
 )
+# blocks per device call: each executable launch on a relay-attached chip
+# costs ~50ms regardless of size, so batching amortizes it B-fold. 0 = one
+# block per call.
+BATCH = int(os.environ.get("TPUBZ_BATCH", "8"))
 
 _encoders: dict[int, object] = {}
 
@@ -110,6 +114,15 @@ def compress(data: bytes | np.ndarray, level: int = 9) -> bytes:
 def _device_block_results(enc, arr, out, blocks):
     """Run blocks through the device pipeline; yield (crc, vals, bits) in
     block order while later blocks are still in flight."""
+    if DEVICE_REFINE and BATCH > 1 and len(blocks) >= BATCH:
+        # full batches only: every distinct batch shape compiles its own
+        # device program, so the batched path always runs exactly BATCH
+        # blocks per call and the remainder takes the per-block path below
+        full = len(blocks) // BATCH * BATCH
+        yield from _device_block_results_batched(enc, arr, out, blocks[:full])
+        blocks = blocks[full:]
+        if not blocks:
+            return
     from concurrent.futures import ThreadPoolExecutor
 
     from ..block.encode import DeviceBlockEncoder, materialize
@@ -153,3 +166,36 @@ def _device_block_results(enc, arr, out, blocks):
     finally:
         fetch_pool.shutdown(wait=False)
         emit_pool.shutdown(wait=False)
+
+
+def _device_block_results_batched(enc, arr, out, blocks):
+    """Batched device pipeline: B blocks per device call (3 transform
+    launches + ~8 refine launches + 1 pack launch per BATCH instead of per
+    block). A small window of batches stays in flight so one batch's
+    host-side tree builds overlap another's device work."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    batches = [
+        blocks[i : i + BATCH] for i in range(0, len(blocks), BATCH)
+    ]
+    pool = ThreadPoolExecutor(int(os.environ.get("TPUBZ_BATCH_THREADS", "3")))
+
+    def process(batch):
+        crcs = [block_crc(arr[i0:i1]) for (_, _, i0, i1) in batch]
+        tr = enc.transform_batch([out[o0:o1] for (o0, o1, _, _) in batch])
+        accs = enc.encode_batch_devrefine(tr, crcs)
+        return [
+            (crc, *acc.arrays()) for crc, acc in zip(crcs, accs)
+        ]
+
+    inflight: deque = deque()
+    try:
+        for batch in batches:
+            inflight.append(pool.submit(process, batch))
+            log.debug("in-flight device batches: %d", len(inflight))
+            if len(inflight) >= 3:
+                yield from inflight.popleft().result()
+        while inflight:
+            yield from inflight.popleft().result()
+    finally:
+        pool.shutdown(wait=False)
