@@ -136,6 +136,23 @@ def _stage_rle2hist_b(ranks, n, used):
 
 
 @jax.jit
+def _stage_mtf_flat(last, n):
+    from ..kernels.mtf import mtf_ranks_batch
+
+    return mtf_ranks_batch(last, n, chunk=MTF_CHUNK)
+
+
+@jax.jit
+def _stage_rle2hist_flat(ranks, n, used):
+    from ..kernels.huffman_dev import chunk_hist_batch
+    from ..kernels.rle2 import rle2_encode_batch
+
+    eob = jnp.sum(used, axis=1).astype(jnp.int32) + 1
+    syms, rle2_len, freqs = rle2_encode_batch(ranks, n, eob)
+    return syms, rle2_len, freqs, chunk_hist_batch(syms, rle2_len)
+
+
+@jax.jit
 def _refine_pass_b(hist, lens, tc):
     from ..kernels.huffman_dev import refine_pass
 
@@ -323,10 +340,19 @@ class DeviceBlockEncoder:
         return acc
 
     def transform_batch(self, rle1_blocks_list):
-        """B blocks -> one batched device pipeline invocation (3 launches).
+        """B blocks -> batched device pipeline.
 
         Returns (key[B], syms[B,OUT], rle2_len[B], freqs[B,258], used[B,256],
         hist[B,NSEL,258]) device arrays.
+
+        The BWT runs as ONE vmapped launch (the dominant kernel; its batched
+        graph compiles fine). The MTF/RLE2/hist stages run per block by
+        default (TPUBZ_BATCH_STAGES=perblock): their fully-vmapped graphs
+        hit pathological compile times on this backend (the batched MTF
+        dominance graph never finished compiling), while the single-block
+        graphs are already cached — per-block launches of cached programs
+        cost only launch overhead. TPUBZ_BATCH_STAGES=vmap switches to the
+        one-launch-per-stage variants once their compiles are viable.
         """
         B = len(rle1_blocks_list)
         pad = np.zeros((B, self.N), np.uint8)
@@ -337,8 +363,31 @@ class DeviceBlockEncoder:
         data = jnp.asarray(pad)
         n = jnp.asarray(ns)
         key, last = _stage_bwt_b(data, n)
-        ranks, used = _stage_mtf_b(last, n)
-        syms, rle2_len, freqs, hist = _stage_rle2hist_b(ranks, n, used)
+        mode = os.environ.get("TPUBZ_BATCH_STAGES", "flat")
+        if mode == "vmap":
+            ranks, used = _stage_mtf_b(last, n)
+            syms, rle2_len, freqs, hist = _stage_rle2hist_b(ranks, n, used)
+            return key, syms, rle2_len, freqs, used, hist
+        if mode == "flat":
+            # flat-batched: one launch per stage with single-block op count
+            # (symbols namespaced per block / per-row scans) — the vmapped
+            # variants' compiles blow up on this backend
+            ranks, used = _stage_mtf_flat(last, n)
+            syms, rle2_len, freqs, hist = _stage_rle2hist_flat(ranks, n, used)
+            return key, syms, rle2_len, freqs, used, hist
+        from ..kernels.huffman_dev import chunk_hist
+
+        per = []
+        for i in range(B):
+            ranks_i, used_i = _stage_mtf(last[i], n[i])
+            syms_i, len_i, freqs_i = _stage_rle2(ranks_i, n[i], used_i)
+            hist_i = chunk_hist(syms_i, len_i)
+            per.append((used_i, syms_i, len_i, freqs_i, hist_i))
+        used = jnp.stack([p[0] for p in per])
+        syms = jnp.stack([p[1] for p in per])
+        rle2_len = jnp.stack([p[2] for p in per])
+        freqs = jnp.stack([p[3] for p in per])
+        hist = jnp.stack([p[4] for p in per])
         return key, syms, rle2_len, freqs, used, hist
 
     def encode_batch_devrefine(self, tr, crcs) -> list:

@@ -113,3 +113,23 @@ def pack_payload(
     return pack_bits_device(
         v.astype(jnp.uint32), b.astype(jnp.int32), payload_words_cap(out)
     )
+
+
+def chunk_hist_batch(syms: jnp.ndarray, rle2_len: jnp.ndarray) -> jnp.ndarray:
+    """Batched per-chunk histograms over [B, OUT] symbol streams as one flat
+    scatter-add: (B, NSEL, 258) int32."""
+    B, out = syms.shape
+    nsel = nsel_cap(out)
+    idx = jnp.broadcast_to(jnp.arange(out, dtype=jnp.int32), (B, out))
+    chunk = (
+        jnp.arange(B, dtype=jnp.int32)[:, None] * nsel + idx // GROUP_SIZE
+    )
+    flat = jnp.where(
+        idx < rle2_len[:, None],
+        chunk * ALPHA_MAX + syms.astype(jnp.int32),
+        B * nsel * ALPHA_MAX,
+    )
+    hist = (
+        jnp.zeros(B * nsel * ALPHA_MAX, jnp.int32).at[flat].add(1, mode="drop")
+    )
+    return hist.reshape(B, nsel, ALPHA_MAX)

@@ -46,6 +46,9 @@ def _lookup_by_sort(table_vals, qkeys, nkeys):
     queries in one sort, forward-fill table values with a cummax, sort back.
     table_vals: int32[nkeys] (each < 2**9), qkeys: int32[Q] in [0, nkeys)."""
     Q = qkeys.shape[0]
+    # the forward-fill carrier packs key * 2^9 + value; use int64 when the
+    # packed range exceeds int32 (batched callers: nkeys up to B*nc*256)
+    cdt = jnp.int32 if nkeys * (1 << 9) < 2**31 else jnp.int64
     tkey = jnp.arange(nkeys, dtype=jnp.int32)
     keys = jnp.concatenate((tkey, qkeys))
     tag = jnp.concatenate(
@@ -57,9 +60,11 @@ def _lookup_by_sort(table_vals, qkeys, nkeys):
     enc0 = jnp.concatenate((table_vals.astype(jnp.int32), jnp.zeros(Q, jnp.int32)))
     k_s, tag_s, qid_s, enc_s = jax.lax.sort((keys, tag, qid, enc0), num_keys=2)
     # forward-fill: each key group starts with its (unique) table entry
-    carrier = jnp.where(tag_s == 0, k_s * (1 << 9) + enc_s, -1)
+    carrier = jnp.where(
+        tag_s == 0, k_s.astype(cdt) * (1 << 9) + enc_s.astype(cdt), -1
+    )
     filled = jax.lax.associative_scan(jnp.maximum, carrier)
-    vals = filled & ((1 << 9) - 1)
+    vals = (filled & ((1 << 9) - 1)).astype(jnp.int32)
     # return query results in query order (sort by qid; table rows first)
     _, out = jax.lax.sort((qid_s, vals), num_keys=1)
     return out[nkeys:]
@@ -146,3 +151,106 @@ def mtf_ranks(
     counts = jnp.sum(mat, axis=-1, dtype=jnp.int32)
     ranks = counts + jnp.where(lfirst, srank, 0)
     return ranks.reshape(N), used
+
+
+def mtf_ranks_batch(
+    last: jnp.ndarray, n: jnp.ndarray, chunk: int = 256
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched MTF over [B, N] blocks as ONE flat problem (no vmap).
+
+    Per-block symbols are namespaced as block*256+sym, so every heavy op is
+    the single-block op at B-times-larger shapes: one variadic sort over
+    B*N, one scatter into (B*nc, 256), per-row rank/lookup, and the same
+    (rows, C, C) dominance reduction with rows = B*nc instead of nc. The
+    compiled graph therefore has the single-block graph's op count — the
+    vmapped alternative hit pathological compile times on this backend.
+
+    Returns (ranks int32[B, N], used bool[B, 256]); pad lanes garbage.
+    """
+    B, N = last.shape
+    assert N % chunk == 0
+    nc = N // chunk
+    M = B * N
+    flat_idx = jnp.arange(M, dtype=jnp.int32)
+    bid = flat_idx // N
+    pos_in_b = flat_idx % N
+    n_flat = jnp.repeat(n.astype(jnp.int32), N)
+    valid = pos_in_b < n_flat
+    sym = jnp.where(valid, last.reshape(M).astype(jnp.int32), 255)
+    symk = bid * 256 + sym  # block-namespaced symbol
+
+    used_flat = (
+        jnp.zeros(B * 256, jnp.bool_)
+        .at[jnp.where(valid, symk, B * 256)]
+        .set(True, mode="drop")
+    )
+    used = used_flat.reshape(B, 256)
+    init_rank = jnp.where(
+        used, jnp.cumsum(used.astype(jnp.int32), axis=1) - 1, ABSENT
+    )
+
+    # global prev/next occurrence per position (same-block by construction:
+    # equal symk implies equal block)
+    s_key, s_idx = jax.lax.sort((symk, flat_idx), num_keys=1)
+    same_prev = jnp.concatenate(
+        (jnp.zeros(1, jnp.bool_), s_key[1:] == s_key[:-1])
+    )
+    same_next = jnp.concatenate(
+        (s_key[1:] == s_key[:-1], jnp.zeros(1, jnp.bool_))
+    )
+    prev_sorted = jnp.where(same_prev, jnp.roll(s_idx, 1), -1)
+    next_sorted = jnp.where(same_next, jnp.roll(s_idx, -1), M)
+    _, prev_g, next_g = jax.lax.sort(
+        (s_idx, prev_sorted, next_sorted), num_keys=1
+    )
+
+    # per-(global chunk, symbol) last occurrence (chunks never span blocks)
+    s_cid = s_idx // chunk
+    nxt_diff = jnp.concatenate(
+        (
+            (s_key[1:] != s_key[:-1]) | (s_cid[1:] != s_cid[:-1]),
+            jnp.ones(1, jnp.bool_),
+        )
+    )
+    tgt_c = jnp.where(nxt_diff, s_cid, B * nc)
+    tgt_s = jnp.where(nxt_diff, s_key % 256, 0)
+    last_pos = (
+        jnp.full((B * nc, 256), -1, jnp.int32)
+        .at[tgt_c, tgt_s]
+        .max(s_idx, mode="drop")
+    )
+    # exclusive running max over chunks, RESET per block
+    run = jax.lax.associative_scan(
+        jnp.maximum, last_pos.reshape(B, nc, 256), axis=1
+    )
+    last_before = jnp.concatenate(
+        (jnp.full((B, 1, 256), -1, jnp.int32), run[:, :-1]), axis=1
+    ).reshape(B * nc, 256)
+    init_rank_bc = jnp.repeat(init_rank, nc, axis=0)  # (B*nc, 256)
+    key = jnp.where(last_before >= 0, M - last_before, 2 * M + init_rank_bc)
+    start_rank = _rank_by_key(key)
+
+    cid = flat_idx // chunk
+    srank = _lookup_by_sort(
+        start_rank.reshape(-1), cid * 256 + sym, B * nc * 256
+    ).reshape(B * nc, chunk)
+
+    cstart = cid * chunk
+    lprev = jnp.where(prev_g >= cstart, prev_g - cstart, -1).reshape(
+        B * nc, chunk
+    )
+    lnext = jnp.where(next_g < cstart + chunk, next_g - cstart, chunk).reshape(
+        B * nc, chunk
+    )
+    lfirst = lprev < 0
+    li = jnp.arange(chunk, dtype=jnp.int32)
+    ii = li[None, :, None]
+    jj = li[None, None, :]
+    before = jj < ii
+    case1 = (jj > lprev[:, :, None]) & (lnext[:, None, :] >= ii)
+    case2 = lfirst[:, None, :] & (srank[:, None, :] >= srank[:, :, None])
+    has_prev = (lprev >= 0)[:, :, None]
+    mat = before & jnp.where(has_prev, case1, case2)
+    counts = jnp.sum(mat, axis=-1, dtype=jnp.int32)
+    ranks = counts + jnp.where(lfirst, srank, 0)
+    return ranks.reshape(B, N), used

@@ -101,3 +101,81 @@ def rle2_encode(
         .add(1, mode="drop")
     )
     return syms, rle2_len, freqs
+
+
+def rle2_encode_batch(
+    ranks: jnp.ndarray, n: jnp.ndarray, eob: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batched RLE2 over [B, N] blocks: the single-block formulation with
+    every scan/cumsum running along axis=1 (resets per block by
+    construction) and scatters flattened with per-block row bases. One
+    launch, single-block op count — the vmapped variant's compile cost
+    scales badly on this backend.
+
+    ranks int32[B, N], n int32[B], eob int32[B] ->
+    (syms uint16[B, N+8], rle2_len int32[B], freqs int32[B, 258]).
+    """
+    B, N = ranks.shape
+    OUT = N + 8
+    idx = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (B, N))
+    valid = idx < n[:, None]
+    nonzero = valid & (ranks != 0)
+    nz_idx = jnp.where(nonzero, idx, -1)
+    last_nz = jax.lax.associative_scan(jnp.maximum, nz_idx, axis=1)
+    prev_nz = jnp.concatenate(
+        (jnp.full((B, 1), -1, jnp.int32), last_nz[:, :-1]), axis=1
+    )
+    run_before = jnp.where(nonzero, idx - prev_nz - 1, 0)
+    d = num_digits(run_before)
+    emit = jnp.where(nonzero, d + 1, 0)
+    off = jnp.cumsum(emit, axis=1) - emit  # exclusive, per block
+    total_body = jnp.sum(emit, axis=1)  # [B]
+    last_valid_nz = jnp.max(jnp.where(nonzero, idx, -1), axis=1)  # [B]
+    tail_run = n - 1 - last_valid_nz
+    tail_d = num_digits(tail_run)
+
+    out_idx = jnp.broadcast_to(jnp.arange(OUT, dtype=jnp.int32), (B, OUT))
+    row_base = jnp.arange(B, dtype=jnp.int32)[:, None] * OUT
+    tgt_flat = jnp.where(nonzero, row_base + off, B * OUT)
+    run1 = run_before + 1
+
+    def fill(values, width):
+        stamped = (
+            jnp.full(B * OUT, -1, jnp.int32)
+            .at[tgt_flat]
+            .set((off << width) | values, mode="drop")
+        ).reshape(B, OUT)
+        return jax.lax.associative_scan(jnp.maximum, stamped, axis=1)
+
+    e_off_f = fill(jnp.zeros_like(off), 0)
+    e_d_f = fill(d, 5) & ((1 << 5) - 1)
+    e_lit_f = fill(ranks + 1, 9) & ((1 << 9) - 1)
+    rhi_f = fill(run1 >> 10, 11) & ((1 << 11) - 1)
+    rlo_f = fill(run1 & 1023, 10) & ((1 << 10) - 1)
+    run1_f = (rhi_f << 10) | rlo_f
+    k_off = out_idx - e_off_f
+    body_sym = jnp.where(
+        k_off < e_d_f,
+        (run1_f >> jnp.clip(k_off, 0, 31)) & 1,
+        e_lit_f,
+    )
+    tail_j = out_idx - total_body[:, None]
+    tail_sym = jnp.where(
+        tail_j < tail_d[:, None],
+        ((tail_run[:, None] + 1) >> jnp.clip(tail_j, 0, 31)) & 1,
+        eob[:, None],
+    )
+    in_body = (out_idx < total_body[:, None]) & (e_off_f >= 0)
+    syms = jnp.where(in_body, body_sym, tail_sym).astype(jnp.uint16)
+    rle2_len = total_body + tail_d + 1
+    frow = jnp.arange(B, dtype=jnp.int32)[:, None] * 258
+    freqs = (
+        jnp.zeros(B * 258, jnp.int32)
+        .at[
+            jnp.where(
+                out_idx < rle2_len[:, None], frow + syms.astype(jnp.int32), B * 258
+            )
+        ]
+        .add(1, mode="drop")
+    ).reshape(B, 258)
+    return syms, rle2_len, freqs
