@@ -46,9 +46,6 @@ def _lookup_by_sort(table_vals, qkeys, nkeys):
     queries in one sort, forward-fill table values with a cummax, sort back.
     table_vals: int32[nkeys] (each < 2**9), qkeys: int32[Q] in [0, nkeys)."""
     Q = qkeys.shape[0]
-    # the forward-fill carrier packs key * 2^9 + value; use int64 when the
-    # packed range exceeds int32 (batched callers: nkeys up to B*nc*256)
-    cdt = jnp.int32 if nkeys * (1 << 9) < 2**31 else jnp.int64
     tkey = jnp.arange(nkeys, dtype=jnp.int32)
     keys = jnp.concatenate((tkey, qkeys))
     tag = jnp.concatenate(
@@ -59,12 +56,22 @@ def _lookup_by_sort(table_vals, qkeys, nkeys):
     )
     enc0 = jnp.concatenate((table_vals.astype(jnp.int32), jnp.zeros(Q, jnp.int32)))
     k_s, tag_s, qid_s, enc_s = jax.lax.sort((keys, tag, qid, enc0), num_keys=2)
-    # forward-fill: each key group starts with its (unique) table entry
-    carrier = jnp.where(
-        tag_s == 0, k_s.astype(cdt) * (1 << 9) + enc_s.astype(cdt), -1
-    )
-    filled = jax.lax.associative_scan(jnp.maximum, carrier)
-    vals = (filled & ((1 << 9) - 1)).astype(jnp.int32)
+    # forward-fill: each key group starts with its (unique) table entry. The
+    # carrier packs key<<9|value; when that exceeds int32 (batched callers:
+    # nkeys up to B*nc*256) the 9 value bits are split across TWO int32
+    # cummax fills, each carrier still monotone in key (x64 is disabled, so
+    # an int64 carrier would silently truncate).
+    if nkeys * (1 << 9) < 2**31:
+        carrier = jnp.where(tag_s == 0, (k_s << 9) | enc_s, -1)
+        filled = jax.lax.associative_scan(jnp.maximum, carrier)
+        vals = filled & ((1 << 9) - 1)
+    else:
+        assert nkeys < 1 << 26, "lookup key space too large for int32 fills"
+        hi = jnp.where(tag_s == 0, (k_s << 4) | (enc_s >> 5), -1)
+        lo = jnp.where(tag_s == 0, (k_s << 5) | (enc_s & 31), -1)
+        hi_f = jax.lax.associative_scan(jnp.maximum, hi)
+        lo_f = jax.lax.associative_scan(jnp.maximum, lo)
+        vals = ((hi_f & 15) << 5) | (lo_f & 31)
     # return query results in query order (sort by qid; table rows first)
     _, out = jax.lax.sort((qid_s, vals), num_keys=1)
     return out[nkeys:]
