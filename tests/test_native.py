@@ -27,7 +27,7 @@ def test_refine_native_matches_python(rng, native_available):
         rle2 = rng.choice(alpha, size=rle2_len, p=p).astype(np.uint16)
         rle2[-1] = alpha - 1  # EOB-ish tail
         sel_p, len_p, tc_p = _python_refine(rle2, alpha)
-        nat = refine_stream_native(rle2, alpha, H.HUFFMAN_ITERS)
+        nat = refine_stream_native(rle2, alpha, H.huffman_iters())
         sel_n, len_n, tc_n = nat
         assert tc_n == tc_p
         assert list(sel_n) == list(sel_p)
