@@ -139,7 +139,10 @@ def _stage_rle2hist_b(ranks, n, used):
 def _stage_mtf_flat(last, n):
     from ..kernels.mtf import mtf_ranks_batch
 
-    return mtf_ranks_batch(last, n, chunk=MTF_CHUNK)
+    # Pallas dominance kernel: the batched XLA dominance reduction never
+    # finishes compiling on this backend (both vmapped and flat variants);
+    # the VMEM-tiled kernel's compile cost is independent of row count
+    return mtf_ranks_batch(last, n, chunk=MTF_CHUNK, use_pallas=True)
 
 
 @jax.jit
@@ -363,7 +366,15 @@ class DeviceBlockEncoder:
         data = jnp.asarray(pad)
         n = jnp.asarray(ns)
         key, last = _stage_bwt_b(data, n)
-        mode = os.environ.get("TPUBZ_BATCH_STAGES", "flat")
+        # default perblock: the cached single-block MTF/RLE2/hist graphs
+        # launch per block. Both one-launch batched variants (vmap and the
+        # flat block-namespaced formulation, incl. the Pallas dominance
+        # kernel) exceeded 40-minute compiles on this backend's remote
+        # compile service — the [B*N]-element sort/scan graphs themselves
+        # are the explosion, not the dominance reduction. They remain
+        # selectable (and CPU-tested) via TPUBZ_BATCH_STAGES=flat|vmap for
+        # backends with a sane compiler.
+        mode = os.environ.get("TPUBZ_BATCH_STAGES", "perblock")
         if mode == "vmap":
             ranks, used = _stage_mtf_b(last, n)
             syms, rle2_len, freqs, hist = _stage_rle2hist_b(ranks, n, used)

@@ -161,7 +161,8 @@ def mtf_ranks(
 
 
 def mtf_ranks_batch(
-    last: jnp.ndarray, n: jnp.ndarray, chunk: int = 256
+    last: jnp.ndarray, n: jnp.ndarray, chunk: int = 256,
+    use_pallas: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Batched MTF over [B, N] blocks as ONE flat problem (no vmap).
 
@@ -250,6 +251,14 @@ def mtf_ranks_batch(
         B * nc, chunk
     )
     lfirst = lprev < 0
+    if use_pallas:
+        # VMEM-tiled dominance kernel: the XLA (rows, C, C) reduction at
+        # batch scale (rows = B*nc) is a compile explosion on this backend;
+        # the Pallas kernel's compile cost is independent of rows
+        from .mtf_pallas import dominance_ranks
+
+        ranks = dominance_ranks(lprev, lnext, srank, group=8)
+        return ranks.reshape(B, N), used
     li = jnp.arange(chunk, dtype=jnp.int32)
     ii = li[None, :, None]
     jj = li[None, None, :]

@@ -65,5 +65,8 @@ def dominance_ranks(lprev, lnext, srank, group: int = 8):
         grid=grid,
         in_specs=[spec, spec, spec],
         out_specs=spec,
+        # CPU (tests / virtual mesh): run the kernel in the interpreter —
+        # semantics identical, Mosaic lowering is TPU-only
+        interpret=(jax.default_backend() == "cpu"),
     )(lprev, lnext, srank)
     return out[:nc]
