@@ -72,6 +72,25 @@ def test_devrefine_emit_matches_host_emit(rng):
 
 
 @pytest.mark.slow
+def test_hostref_batched_byte_identical(rng, monkeypatch):
+    """The batched host-refine route (TPUBZ_DEVICE_REFINE=0 with BATCH>1):
+    one batched BWT launch + one batched fetch per BATCH, refinement on the
+    host engine. Bytes must match the host reference exactly."""
+    from tpubz.stream import api
+
+    monkeypatch.setattr(api, "DEVICE_REFINE", False)
+    d = (
+        bytes(rng.integers(0, 64, 400_000, dtype=np.uint8))
+        + b"lorem ipsum dolor sit amet\n" * 10_000
+        + bytes(rng.integers(0, 256, 150_000, dtype=np.uint8))
+    )
+    assert api.BATCH > 1
+    c_dev = api.compress(d, 1)
+    assert c_dev == host_compress(d, 1)
+    assert decompress(c_dev) == d
+
+
+@pytest.mark.slow
 def test_device_stream_batched_byte_identical(rng):
     """>= BATCH blocks routes through the batched multi-block device path
     (B blocks per launch) plus a per-block remainder; bytes must match the

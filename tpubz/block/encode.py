@@ -156,6 +156,11 @@ def _stage_rle2hist_flat(ranks, n, used):
 
 
 @jax.jit
+def _stage_compact_b(syms, rle2_len):
+    return jax.vmap(_stage_compact)(syms, rle2_len)
+
+
+@jax.jit
 def _refine_pass_b(hist, lens, tc):
     from ..kernels.huffman_dev import refine_pass
 
@@ -400,6 +405,55 @@ class DeviceBlockEncoder:
         freqs = jnp.stack([p[3] for p in per])
         hist = jnp.stack([p[4] for p in per])
         return key, syms, rle2_len, freqs, used, hist
+
+    def transform_batch_hostref(self, rle1_blocks_list):
+        """Batched transform for the HOST-refine path: batched BWT launch +
+        per-block cached MTF/RLE2 + one batched compact stage, fetched with
+        ONE device_get for the whole batch (materialize_batch)."""
+        B = len(rle1_blocks_list)
+        pad = np.zeros((B, self.N), np.uint8)
+        ns = np.zeros(B, np.int32)
+        for i, blk in enumerate(rle1_blocks_list):
+            pad[i, : blk.size] = blk
+            ns[i] = max(blk.size, 1)
+        data = jnp.asarray(pad)
+        n = jnp.asarray(ns)
+        key, last = _stage_bwt_b(data, n)
+        per = []
+        for i in range(B):
+            ranks_i, used_i = _stage_mtf(last[i], n[i])
+            syms_i, len_i, freqs_i = _stage_rle2(ranks_i, n[i], used_i)
+            per.append((used_i, syms_i, len_i, freqs_i))
+        used = jnp.stack([p[0] for p in per])
+        syms = jnp.stack([p[1] for p in per])
+        rle2_len = jnp.stack([p[2] for p in per])
+        freqs = jnp.stack([p[3] for p in per])
+        syms_u8, hi_packed, hi_count = _stage_compact_b(syms, rle2_len)
+        return key, syms, rle2_len, freqs, used, syms_u8, hi_packed, hi_count
+
+    @staticmethod
+    def materialize_batch(tr):
+        """One device_get for a whole batch of transform_batch_hostref
+        outputs; returns a list of per-block (key, syms u16, rle2_len,
+        freqs, used) tuples."""
+        key, syms, rle2_len, freqs, used, syms_u8, hi_packed, hi_count = tr
+        key_a, len_a, freqs_a, used_a, u8_a, hp_a, hc_a = jax.device_get(
+            (key, rle2_len, freqs, used, syms_u8, hi_packed, hi_count)
+        )
+        out = []
+        for b in range(key_a.shape[0]):
+            hc = int(hc_a[b])
+            if hc > HI_CAP:
+                s = np.asarray(syms[b])
+            else:
+                s = u8_a[b].astype(np.uint16)
+                if hc:
+                    packed = hp_a[b][:hc]
+                    s[packed >> 1] = 256 + (packed & 1)
+            out.append(
+                (int(key_a[b]), s, int(len_a[b]), freqs_a[b], used_a[b])
+            )
+        return out
 
     def encode_batch_devrefine(self, tr, crcs) -> list:
         """Batched device refinement + packing: the per-pass argmin/rfreq and

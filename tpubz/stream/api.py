@@ -114,12 +114,17 @@ def compress(data: bytes | np.ndarray, level: int = 9) -> bytes:
 def _device_block_results(enc, arr, out, blocks):
     """Run blocks through the device pipeline; yield (crc, vals, bits) in
     block order while later blocks are still in flight."""
-    if DEVICE_REFINE and BATCH > 1 and len(blocks) >= BATCH:
+    if BATCH > 1 and len(blocks) >= BATCH:
         # full batches only: every distinct batch shape compiles its own
         # device program, so the batched path always runs exactly BATCH
         # blocks per call and the remainder takes the per-block path below
         full = len(blocks) // BATCH * BATCH
-        yield from _device_block_results_batched(enc, arr, out, blocks[:full])
+        gen = (
+            _device_block_results_batched
+            if DEVICE_REFINE
+            else _hostref_block_results_batched
+        )
+        yield from gen(enc, arr, out, blocks[:full])
         blocks = blocks[full:]
         if not blocks:
             return
@@ -163,6 +168,56 @@ def _device_block_results(enc, arr, out, blocks):
                 yield inflight.popleft().result()
         while inflight:
             yield inflight.popleft().result()
+    finally:
+        fetch_pool.shutdown(wait=False)
+        emit_pool.shutdown(wait=False)
+
+
+def _hostref_block_results_batched(enc, arr, out, blocks):
+    """Batched transform + HOST refinement: one batched BWT launch and ONE
+    device_get per batch; refinement/emission for the batch's blocks run in
+    parallel on the emit pool. The fastest configuration on launch-overhead-
+    bound backends (the relay rig): fewer launches than per-block, no
+    per-pass device round trips."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..block.encode import DeviceBlockEncoder
+
+    batches = [blocks[i : i + BATCH] for i in range(0, len(blocks), BATCH)]
+    fetch_pool = ThreadPoolExecutor(2)
+    emit_pool = ThreadPoolExecutor(max(EMIT_THREADS, 3))
+
+    def emit_one(mats, j, i0, i1):
+        key, syms, rle2_len, freqs, used = mats[j]
+        crc = block_crc(arr[i0:i1])
+        blk = DeviceBlockEncoder.emit_block(key, syms, rle2_len, freqs, used, crc)
+        vals, bits = blk.arrays()
+        return crc, vals, bits
+
+    inflight: deque = deque()
+    try:
+        for batch in batches:
+            tr = enc.transform_batch_hostref(
+                [out[o0:o1] for (o0, o1, _, _) in batch]
+            )
+            mat_fut = fetch_pool.submit(DeviceBlockEncoder.materialize_batch, tr)
+            futs = []
+            for j, (_, _, i0, i1) in enumerate(batch):
+                futs.append(
+                    emit_pool.submit(
+                        lambda mf=mat_fut, jj=j, a=i0, b=i1: emit_one(
+                            mf.result(), jj, a, b
+                        )
+                    )
+                )
+            inflight.append(futs)
+            log.debug("in-flight hostref batches: %d", len(inflight))
+            if len(inflight) >= 3:
+                for f in inflight.popleft():
+                    yield f.result()
+        while inflight:
+            for f in inflight.popleft():
+                yield f.result()
     finally:
         fetch_pool.shutdown(wait=False)
         emit_pool.shutdown(wait=False)
