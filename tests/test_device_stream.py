@@ -79,30 +79,31 @@ def test_hostref_batched_byte_identical(rng, monkeypatch):
     from tpubz.stream import api
 
     monkeypatch.setattr(api, "DEVICE_REFINE", False)
+    monkeypatch.setattr(api, "BATCH", 8)
     d = (
         bytes(rng.integers(0, 64, 400_000, dtype=np.uint8))
         + b"lorem ipsum dolor sit amet\n" * 10_000
         + bytes(rng.integers(0, 256, 150_000, dtype=np.uint8))
     )
-    assert api.BATCH > 1
     c_dev = api.compress(d, 1)
     assert c_dev == host_compress(d, 1)
     assert decompress(c_dev) == d
 
 
 @pytest.mark.slow
-def test_device_stream_batched_byte_identical(rng):
+def test_device_stream_batched_byte_identical(rng, monkeypatch):
     """>= BATCH blocks routes through the batched multi-block device path
     (B blocks per launch) plus a per-block remainder; bytes must match the
     host reference exactly."""
     from tpubz.stream import api
 
+    monkeypatch.setattr(api, "DEVICE_REFINE", True)
+    monkeypatch.setattr(api, "BATCH", 8)
     d = (
         bytes(rng.integers(0, 64, 500_000, dtype=np.uint8))
         + b"the quick brown fox\n" * 12_000
         + bytes(rng.integers(0, 256, 150_000, dtype=np.uint8))
     )
-    assert api.BATCH > 1
     c_dev = api.compress(d, 1)  # ~9 blocks at level 1: 8 batched + 1 single
     assert c_dev == host_compress(d, 1)
     assert decompress(c_dev) == d

@@ -34,16 +34,20 @@ from ..hostref.rle1 import rle1_blocks
 WINDOW = int(os.environ.get("TPUBZ_WINDOW", "16"))
 # device-refine path: refinement argmin/rfreq + payload packing on device,
 # only sidecars + packed bits cross the link (VERDICT r1 items 1-2). Its
-# per-block link round trips are latency-bound, so it runs with more emit
-# workers to keep the device busy.
-DEVICE_REFINE = os.environ.get("TPUBZ_DEVICE_REFINE", "1") != "0"
+# per-pass link round trips are latency-bound on the relay rig, where the
+# measured shootout (8MB -9) put per-block host-refine at 4.6-5.3 MB/s vs
+# 2.1-3.0 for the device-refine variants, so host refine is the default;
+# set TPUBZ_DEVICE_REFINE=1 on locally-attached chips where launch/RTT
+# overhead is microseconds and only packed bits should cross the link.
+DEVICE_REFINE = os.environ.get("TPUBZ_DEVICE_REFINE", "0") != "0"
 EMIT_THREADS = int(
     os.environ.get("TPUBZ_EMIT_THREADS", "6" if DEVICE_REFINE else "3")
 )
-# blocks per device call: each executable launch on a relay-attached chip
-# costs ~50ms regardless of size, so batching amortizes it B-fold. 0 = one
-# block per call.
-BATCH = int(os.environ.get("TPUBZ_BATCH", "8"))
+# blocks per device call: 0 = one block per call (default: the async
+# per-block window already overlaps transfers with compute, and the
+# measured bottleneck is device kernel time, which batching doesn't cut;
+# batching B>1 amortizes launch overhead when call count dominates).
+BATCH = int(os.environ.get("TPUBZ_BATCH", "0"))
 
 _encoders: dict[int, object] = {}
 
