@@ -74,16 +74,19 @@ def rle2_encode(
         return jax.lax.associative_scan(jnp.maximum, stamped)
 
     e_off_f = fill(jnp.zeros_like(off), 0)  # carries off itself
-    e_d_f = fill(d, 5) & ((1 << 5) - 1)
     e_lit_f = fill(ranks + 1, 9) & ((1 << 9) - 1)
     rhi_f = fill(run1 >> 10, 11) & ((1 << 11) - 1)
     rlo_f = fill(run1 & 1023, 10) & ((1 << 10) - 1)
     run1_f = (rhi_f << 10) | rlo_f
     k_off = out_idx - e_off_f
+    # a slot is its emitter's literal (k_off == d) iff the NEXT slot starts
+    # a new emitter or the body ends there — saves the d-field fill
+    e_next = jnp.concatenate((e_off_f[1:], jnp.full(1, -1, jnp.int32)))
+    is_lit = (e_next == out_idx + 1) | (out_idx + 1 == total_body)
     body_sym = jnp.where(
-        k_off < e_d_f,
-        (run1_f >> jnp.clip(k_off, 0, 31)) & 1,
+        is_lit,
         e_lit_f,
+        (run1_f >> jnp.clip(k_off, 0, 31)) & 1,
     )
     # slots at/after total_body: tail digits then EOB
     tail_j = out_idx - total_body
@@ -148,16 +151,19 @@ def rle2_encode_batch(
         return jax.lax.associative_scan(jnp.maximum, stamped, axis=1)
 
     e_off_f = fill(jnp.zeros_like(off), 0)
-    e_d_f = fill(d, 5) & ((1 << 5) - 1)
     e_lit_f = fill(ranks + 1, 9) & ((1 << 9) - 1)
     rhi_f = fill(run1 >> 10, 11) & ((1 << 11) - 1)
     rlo_f = fill(run1 & 1023, 10) & ((1 << 10) - 1)
     run1_f = (rhi_f << 10) | rlo_f
     k_off = out_idx - e_off_f
+    e_next = jnp.concatenate(
+        (e_off_f[:, 1:], jnp.full((B, 1), -1, jnp.int32)), axis=1
+    )
+    is_lit = (e_next == out_idx + 1) | (out_idx + 1 == total_body[:, None])
     body_sym = jnp.where(
-        k_off < e_d_f,
-        (run1_f >> jnp.clip(k_off, 0, 31)) & 1,
+        is_lit,
         e_lit_f,
+        (run1_f >> jnp.clip(k_off, 0, 31)) & 1,
     )
     tail_j = out_idx - total_body[:, None]
     tail_sym = jnp.where(
