@@ -161,6 +161,13 @@ def _stage_compact_b(syms, rle2_len):
 
 
 @jax.jit
+def _unstack(x):
+    """Split a batched array into per-block arrays in ONE launch (indexing
+    the batched array per block would dispatch one slice program each)."""
+    return tuple(x[i] for i in range(x.shape[0]))
+
+
+@jax.jit
 def _refine_pass_b(hist, lens, tc):
     from ..kernels.huffman_dev import refine_pass
 
@@ -174,20 +181,59 @@ def _pack_b(syms, rle2_len, sel, codes, lens):
     return jax.vmap(pack_payload)(syms, rle2_len, sel, codes, lens)
 
 
+@jax.jit
+def _stage_post(last, n):
+    """Everything after the BWT, fused into ONE launch: MTF + RLE2 + compact
+    transfer form. Each executable launch costs ~50ms flat on a
+    relay-attached chip, so per-block launch count is the serial resource;
+    fusing 3 stages into 1 halves the per-block device queue time (the BWT
+    stays separate: its 20-round sort loop is the compile-time hog)."""
+    from ..kernels.huffman_dev import chunk_hist
+
+    ranks, used = mtf_ranks(last, n, chunk=MTF_CHUNK)
+    eob = jnp.sum(used).astype(jnp.int32) + 1
+    syms, rle2_len, freqs = rle2_encode(ranks, n, eob)
+    syms_u8, hi_packed, hi_count = _stage_compact(syms, rle2_len)
+    # the chunk histogram rides along for the device-refine path (host-refine
+    # callers leave it on device; the scatter-add is cheap next to a launch)
+    hist = chunk_hist(syms, rle2_len)
+    return syms, rle2_len, freqs, used, syms_u8, hi_packed, hi_count, hist
+
+
 def _transform(data, n):
     """data uint8[N] (first n valid) -> (key, syms, rle2_len, freqs, used).
 
-    Three separately-jitted stages rather than one fused graph: this
-    backend's compile time grows superlinearly with graph size (the fused
-    900k transform takes tens of minutes to compile vs ~1 minute for the
-    stages), intermediates stay on device between calls, and the persistent
-    compilation cache survives single-stage edits.
+    Two separately-jitted stages (BWT, fused post) rather than one graph:
+    this backend's compile time grows superlinearly with graph size (the
+    fully fused 900k transform takes tens of minutes to compile vs ~1
+    minute for the stages), intermediates stay on device between calls, and
+    the persistent compilation cache survives single-stage edits.
     """
     key, last = _stage_bwt(data, n)
-    ranks, used = _stage_mtf(last, n)
-    syms, rle2_len, freqs = _stage_rle2(ranks, n, used)
-    syms_u8, hi_packed, hi_count = _stage_compact(syms, rle2_len)
-    return key, syms, rle2_len, freqs, used, syms_u8, hi_packed, hi_count
+    post = _stage_post(last, n)
+    return (key, *post)
+
+
+def warm_aot(level: int = 9, batch: int = 0):
+    """AOT-lower-and-compile the production stage graphs (persistent-cache
+    warm) without running them: the remote compile service does the work, no
+    chip time or input upload needed. Returns the compiled executables."""
+    setup_jax_cache()
+    N = DeviceBlockEncoder(level).N
+    import jax.numpy as _j
+
+    d = jax.ShapeDtypeStruct((N,), _j.uint8)
+    l = jax.ShapeDtypeStruct((N,), _j.uint8)
+    n = jax.ShapeDtypeStruct((), _j.int32)
+    outs = [
+        _stage_bwt.lower(d, n).compile(),
+        _stage_post.lower(l, n).compile(),
+    ]
+    if batch > 1:
+        db = jax.ShapeDtypeStruct((batch, N), _j.uint8)
+        nb = jax.ShapeDtypeStruct((batch,), _j.int32)
+        outs.append(_stage_bwt_b.lower(db, nb).compile())
+    return outs
 
 
 def materialize(out):
@@ -196,7 +242,7 @@ def materialize(out):
     ms): returns (key, syms u16, rle2_len, freqs, used). The symbol stream
     travels in the compact u8 + sidecar form; the full u16 array is only
     pulled on sidecar overflow (rare)."""
-    key, syms, rle2_len, freqs, used, syms_u8, hi_packed, hi_count = out
+    key, syms, rle2_len, freqs, used, syms_u8, hi_packed, hi_count = out[:8]
     key, rle2_len, freqs, used, syms_u8, hi_packed, hc = jax.device_get(
         (key, rle2_len, freqs, used, syms_u8, hi_packed, hi_count)
     )
@@ -259,15 +305,14 @@ class DeviceBlockEncoder:
         import jax.numpy as jnp
 
         from ..kernels.huffman_dev import (
-            chunk_hist,
             nsel_cap,
             pack_payload,
             refine_pass,
         )
         from ..native import code_lengths_native
 
-        key_d, syms_d, rle2_len_d, freqs_d, used_d, *_ = trans_out
-        hist_d = chunk_hist(syms_d, rle2_len_d)
+        key_d, syms_d, rle2_len_d, freqs_d, used_d = trans_out[:5]
+        hist_d = trans_out[8]
         key, rle2_len, freqs, used = jax.device_get(
             (key_d, rle2_len_d, freqs_d, used_d)
         )
@@ -350,17 +395,19 @@ class DeviceBlockEncoder:
     def transform_batch(self, rle1_blocks_list):
         """B blocks -> batched device pipeline.
 
-        Returns (key[B], syms[B,OUT], rle2_len[B], freqs[B,258], used[B,256],
-        hist[B,NSEL,258]) device arrays.
+        Returns (key[B], posts) where posts[b] is the per-block fused-post
+        output tuple (syms, rle2_len, freqs, used, syms_u8, hi_packed,
+        hi_count, hist), all device arrays.
 
         The BWT runs as ONE vmapped launch (the dominant kernel; its batched
-        graph compiles fine). The MTF/RLE2/hist stages run per block by
-        default (TPUBZ_BATCH_STAGES=perblock): their fully-vmapped graphs
-        hit pathological compile times on this backend (the batched MTF
-        dominance graph never finished compiling), while the single-block
-        graphs are already cached — per-block launches of cached programs
-        cost only launch overhead. TPUBZ_BATCH_STAGES=vmap switches to the
-        one-launch-per-stage variants once their compiles are viable.
+        graph compiles fine), one unstack launch splits its output, then the
+        fused post stage runs per block — 2+B launches per batch. The fully
+        batched one-launch-per-stage variants (vmap and the flat
+        block-namespaced formulation, incl. the Pallas dominance kernel)
+        exceeded 40-minute compiles on this backend's remote compile service
+        — the [B*N]-element sort/scan graphs themselves are the explosion —
+        and remain selectable (CPU-tested) via TPUBZ_BATCH_STAGES=flat|vmap
+        for backends with a sane compiler.
         """
         B = len(rle1_blocks_list)
         pad = np.zeros((B, self.N), np.uint8)
@@ -371,88 +418,54 @@ class DeviceBlockEncoder:
         data = jnp.asarray(pad)
         n = jnp.asarray(ns)
         key, last = _stage_bwt_b(data, n)
-        # default perblock: the cached single-block MTF/RLE2/hist graphs
-        # launch per block. Both one-launch batched variants (vmap and the
-        # flat block-namespaced formulation, incl. the Pallas dominance
-        # kernel) exceeded 40-minute compiles on this backend's remote
-        # compile service — the [B*N]-element sort/scan graphs themselves
-        # are the explosion, not the dominance reduction. They remain
-        # selectable (and CPU-tested) via TPUBZ_BATCH_STAGES=flat|vmap for
-        # backends with a sane compiler.
         mode = os.environ.get("TPUBZ_BATCH_STAGES", "perblock")
-        if mode == "vmap":
-            ranks, used = _stage_mtf_b(last, n)
-            syms, rle2_len, freqs, hist = _stage_rle2hist_b(ranks, n, used)
-            return key, syms, rle2_len, freqs, used, hist
-        if mode == "flat":
-            # flat-batched: one launch per stage with single-block op count
-            # (symbols namespaced per block / per-row scans) — the vmapped
-            # variants' compiles blow up on this backend
-            ranks, used = _stage_mtf_flat(last, n)
-            syms, rle2_len, freqs, hist = _stage_rle2hist_flat(ranks, n, used)
-            return key, syms, rle2_len, freqs, used, hist
-        from ..kernels.huffman_dev import chunk_hist
+        if mode in ("vmap", "flat"):
+            if mode == "vmap":
+                ranks, used = _stage_mtf_b(last, n)
+                syms, rle2_len, freqs, hist = _stage_rle2hist_b(ranks, n, used)
+            else:
+                ranks, used = _stage_mtf_flat(last, n)
+                syms, rle2_len, freqs, hist = _stage_rle2hist_flat(
+                    ranks, n, used
+                )
+            syms_u8, hi_packed, hi_count = _stage_compact_b(syms, rle2_len)
+            posts = [
+                (
+                    syms[i], rle2_len[i], freqs[i], used[i], syms_u8[i],
+                    hi_packed[i], hi_count[i], hist[i],
+                )
+                for i in range(B)
+            ]
+            return key, posts
+        lasts = _unstack(last)
+        posts = [
+            _stage_post(lasts[i], jnp.int32(int(ns[i]))) for i in range(B)
+        ]
+        return key, posts
 
-        per = []
-        for i in range(B):
-            ranks_i, used_i = _stage_mtf(last[i], n[i])
-            syms_i, len_i, freqs_i = _stage_rle2(ranks_i, n[i], used_i)
-            hist_i = chunk_hist(syms_i, len_i)
-            per.append((used_i, syms_i, len_i, freqs_i, hist_i))
-        used = jnp.stack([p[0] for p in per])
-        syms = jnp.stack([p[1] for p in per])
-        rle2_len = jnp.stack([p[2] for p in per])
-        freqs = jnp.stack([p[3] for p in per])
-        hist = jnp.stack([p[4] for p in per])
-        return key, syms, rle2_len, freqs, used, hist
-
-    def transform_batch_hostref(self, rle1_blocks_list):
-        """Batched transform for the HOST-refine path: batched BWT launch +
-        per-block cached MTF/RLE2 + one batched compact stage, fetched with
-        ONE device_get for the whole batch (materialize_batch)."""
-        B = len(rle1_blocks_list)
-        pad = np.zeros((B, self.N), np.uint8)
-        ns = np.zeros(B, np.int32)
-        for i, blk in enumerate(rle1_blocks_list):
-            pad[i, : blk.size] = blk
-            ns[i] = max(blk.size, 1)
-        data = jnp.asarray(pad)
-        n = jnp.asarray(ns)
-        key, last = _stage_bwt_b(data, n)
-        per = []
-        for i in range(B):
-            ranks_i, used_i = _stage_mtf(last[i], n[i])
-            syms_i, len_i, freqs_i = _stage_rle2(ranks_i, n[i], used_i)
-            per.append((used_i, syms_i, len_i, freqs_i))
-        used = jnp.stack([p[0] for p in per])
-        syms = jnp.stack([p[1] for p in per])
-        rle2_len = jnp.stack([p[2] for p in per])
-        freqs = jnp.stack([p[3] for p in per])
-        syms_u8, hi_packed, hi_count = _stage_compact_b(syms, rle2_len)
-        return key, syms, rle2_len, freqs, used, syms_u8, hi_packed, hi_count
+    # hostref-refine and devrefine batches share the transform; the paths
+    # differ only in what they fetch from the per-block post tuples
+    transform_batch_hostref = transform_batch
 
     @staticmethod
     def materialize_batch(tr):
-        """One device_get for a whole batch of transform_batch_hostref
-        outputs; returns a list of per-block (key, syms u16, rle2_len,
-        freqs, used) tuples."""
-        key, syms, rle2_len, freqs, used, syms_u8, hi_packed, hi_count = tr
-        key_a, len_a, freqs_a, used_a, u8_a, hp_a, hc_a = jax.device_get(
-            (key, rle2_len, freqs, used, syms_u8, hi_packed, hi_count)
+        """One device_get for a whole transform_batch output; returns a list
+        of per-block (key, syms u16, rle2_len, freqs, used) tuples."""
+        key, posts = tr
+        key_a, fetched = jax.device_get(
+            (key, [(p[1], p[2], p[3], p[4], p[5], p[6]) for p in posts])
         )
         out = []
-        for b in range(key_a.shape[0]):
-            hc = int(hc_a[b])
+        for b, (len_b, freqs_b, used_b, u8_b, hp_b, hc_b) in enumerate(fetched):
+            hc = int(hc_b)
             if hc > HI_CAP:
-                s = np.asarray(syms[b])
+                s = np.asarray(posts[b][0])
             else:
-                s = u8_a[b].astype(np.uint16)
+                s = u8_b.astype(np.uint16)
                 if hc:
-                    packed = hp_a[b][:hc]
+                    packed = hp_b[:hc]
                     s[packed >> 1] = 256 + (packed & 1)
-            out.append(
-                (int(key_a[b]), s, int(len_a[b]), freqs_a[b], used_a[b])
-            )
+            out.append((int(key_a[b]), s, int(len_b), freqs_b, used_b))
         return out
 
     def encode_batch_devrefine(self, tr, crcs) -> list:
@@ -464,9 +477,17 @@ class DeviceBlockEncoder:
         from ..kernels.huffman_dev import nsel_cap
         from ..native import code_lengths_native
 
-        key_d, syms_d, rle2_len_d, freqs_d, used_d, hist_d = tr
+        key_d, posts = tr
+        syms_d = jnp.stack([p[0] for p in posts])
+        rle2_len_d = jnp.stack([p[1] for p in posts])
+        hist_d = jnp.stack([p[7] for p in posts])
         key_a, len_a, freqs_a, used_a = jax.device_get(
-            (key_d, rle2_len_d, freqs_d, used_d)
+            (
+                key_d,
+                rle2_len_d,
+                [p[2] for p in posts],
+                [p[3] for p in posts],
+            )
         )
         B = len(crcs)
         alphas = [int(used_a[b].sum()) + 2 for b in range(B)]
