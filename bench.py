@@ -55,8 +55,12 @@ def main():
     from tpubz.stream.api import compress
     from tpubz.stream.decode import decompress
 
-    # warm up compiles on a small prefix (shapes are level-determined)
+    # warm-up: a small prefix first (pays any pending compiles without
+    # holding the full corpus in flight), then one full-size untimed pass so
+    # the timed trials measure the steady-state pipeline (thread pools
+    # spawned, caches hot, relay connection warmed)
     compress(corpus[: 64 * 1024], level)
+    compress(corpus, level)
 
     enc_times = []
     out = None

@@ -200,15 +200,145 @@ def _stage_post(last, n):
     return syms, rle2_len, freqs, used, syms_u8, hi_packed, hi_count, hist
 
 
+@jax.jit
+def _stage_full(data, n):
+    """The ENTIRE per-block transform (BWT + MTF + RLE2 + compact + hist) as
+    ONE launch. On a relay-attached chip every launch costs ~50ms of serial
+    link time, so one launch per block is the floor for this pipeline shape.
+    Compile is expensive (the 900k fused graph takes minutes on the remote
+    compile service) but free of chip time via warm_aot AOT lowering; the
+    production path only routes here once the persistent cache has it (see
+    _transform)."""
+    key, last = bwt_forward(data, n)
+    post = _stage_post(last, n)
+    return (key, *post)
+
+
+# whether the fused single-launch graph is available (compiled/cached) on
+# this backend; probed once by _transform
+_full_ok: bool | None = None
+
+
+def _src_hash() -> str:
+    """Hash of every source that shapes the fused graph; the warm stamp pins
+    the compiled cache entry to these exact sources so a stale cache from an
+    older kernel version can't route production onto a minutes-long
+    recompile."""
+    import hashlib
+
+    import inspect
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    h = hashlib.sha256()
+    kdir = os.path.join(root, "kernels")
+    for name in sorted(os.listdir(kdir)):
+        if name.endswith(".py"):
+            with open(os.path.join(kdir, name), "rb") as f:
+                h.update(f.read())
+    # only the graph-shaping pieces of this module, so unrelated host-side
+    # edits don't force a re-warm
+    for fn in (_stage_full, _stage_full_b, _stage_post, _stage_compact):
+        h.update(inspect.getsource(fn.__wrapped__).encode())
+    h.update(f"{MTF_CHUNK},{HI_CAP}".encode())
+    return h.hexdigest()
+
+
+def _stamp_path() -> str:
+    cache_dir = os.environ.get("TPUBZ_JAX_CACHE", "/root/.jax_cache")
+    return os.path.join(cache_dir, "tpubz_full_stamp")
+
+
+def _probe_full() -> bool:
+    """True if warm_aot_full() compiled _stage_full for exactly the current
+    sources (a cache hit loads in seconds; a miss would stall the pipeline
+    for minutes on this backend's compile service, so production only fuses
+    when the stamp proves the cache is warm). TPUBZ_FUSED=0/1 overrides."""
+    global _full_ok
+    if _full_ok is None:
+        mode = os.environ.get("TPUBZ_FUSED", "auto")
+        if mode in ("0", "1"):
+            _full_ok = mode == "1"
+        else:
+            try:
+                with open(_stamp_path()) as f:
+                    _full_ok = f.read().strip() == _src_hash()
+            except OSError:
+                _full_ok = False
+    return _full_ok
+
+
+@jax.jit
+def _stage_full_b(data, n):
+    """Batched fused transform: B blocks -> ONE launch. vmap covers the BWT
+    and compact stages; MTF and RLE2 use the flat block-namespaced batch
+    formulations (kernels/mtf.py, kernels/rle2.py) because their vmapped
+    graphs explode at compile time on this backend — the Pallas dominance
+    kernel's compile cost is independent of row count."""
+    from ..kernels.huffman_dev import chunk_hist_batch
+    from ..kernels.mtf import mtf_ranks_batch
+    from ..kernels.rle2 import rle2_encode_batch
+
+    key, last = jax.vmap(lambda d, m: bwt_forward(d, m, skip_converged=False))(
+        data, n
+    )
+    ranks, used = mtf_ranks_batch(last, n, chunk=MTF_CHUNK, use_pallas=True)
+    eob = jnp.sum(used, axis=1).astype(jnp.int32) + 1
+    syms, rle2_len, freqs = rle2_encode_batch(ranks, n, eob)
+    syms_u8, hi_packed, hi_count = jax.vmap(_stage_compact)(syms, rle2_len)
+    hist = chunk_hist_batch(syms, rle2_len)
+    return key, syms, rle2_len, freqs, used, syms_u8, hi_packed, hi_count, hist
+
+
+def _probe_full_b() -> bool:
+    """Like _probe_full, for the batched fused graph (stamped separately by
+    warm_aot_full_b)."""
+    mode = os.environ.get("TPUBZ_FUSED_BATCH", "auto")
+    if mode in ("0", "1"):
+        return mode == "1"
+    try:
+        with open(_stamp_path() + "_b") as f:
+            return f.read().strip() == _src_hash()
+    except OSError:
+        return False
+
+
+def warm_aot_full_b(level: int = 9, batch: int = 8):
+    """AOT-compile the batched fused single-launch graph and stamp it."""
+    setup_jax_cache()
+    N = DeviceBlockEncoder(level).N
+    d = jax.ShapeDtypeStruct((batch, N), jnp.uint8)
+    n = jax.ShapeDtypeStruct((batch,), jnp.int32)
+    exe = _stage_full_b.lower(d, n).compile()
+    with open(_stamp_path() + "_b", "w") as f:
+        f.write(_src_hash())
+    return exe
+
+
+def warm_aot_full(level: int = 9):
+    """AOT-compile the fused single-launch graph (minutes of remote compile
+    service time, zero chip time) and stamp the cache so _transform routes
+    through it. Run in the background after any kernel edit."""
+    setup_jax_cache()
+    N = DeviceBlockEncoder(level).N
+    d = jax.ShapeDtypeStruct((N,), jnp.uint8)
+    n = jax.ShapeDtypeStruct((), jnp.int32)
+    exe = _stage_full.lower(d, n).compile()
+    with open(_stamp_path(), "w") as f:
+        f.write(_src_hash())
+    return exe
+
+
 def _transform(data, n):
     """data uint8[N] (first n valid) -> (key, syms, rle2_len, freqs, used).
 
-    Two separately-jitted stages (BWT, fused post) rather than one graph:
-    this backend's compile time grows superlinearly with graph size (the
-    fully fused 900k transform takes tens of minutes to compile vs ~1
-    minute for the stages), intermediates stay on device between calls, and
-    the persistent compilation cache survives single-stage edits.
+    One fused launch when the fused graph is cached; otherwise two stages
+    (BWT, fused post). The split exists because this backend's compile time
+    grows superlinearly with graph size (the fused 900k transform takes
+    minutes to compile vs ~1 minute for the stages) and the persistent
+    compilation cache survives single-stage edits.
     """
+    if _probe_full():
+        return _stage_full(data, n)
     key, last = _stage_bwt(data, n)
     post = _stage_post(last, n)
     return (key, *post)
@@ -417,6 +547,12 @@ class DeviceBlockEncoder:
             ns[i] = max(blk.size, 1)
         data = jnp.asarray(pad)
         n = jnp.asarray(ns)
+        if _probe_full_b():
+            # ONE launch for the whole batch (fused batched graph, AOT-
+            # warmed). The outputs stay as whole batched arrays — per-block
+            # indexing would dispatch one slice program per block — and the
+            # materialize/devrefine consumers slice on host after one fetch.
+            return ("b", _stage_full_b(data, n))
         key, last = _stage_bwt_b(data, n)
         mode = os.environ.get("TPUBZ_BATCH_STAGES", "perblock")
         if mode in ("vmap", "flat"):
@@ -436,12 +572,12 @@ class DeviceBlockEncoder:
                 )
                 for i in range(B)
             ]
-            return key, posts
+            return ("p", key, posts)
         lasts = _unstack(last)
         posts = [
             _stage_post(lasts[i], jnp.int32(int(ns[i]))) for i in range(B)
         ]
-        return key, posts
+        return ("p", key, posts)
 
     # hostref-refine and devrefine batches share the transform; the paths
     # differ only in what they fetch from the per-block post tuples
@@ -451,7 +587,27 @@ class DeviceBlockEncoder:
     def materialize_batch(tr):
         """One device_get for a whole transform_batch output; returns a list
         of per-block (key, syms u16, rle2_len, freqs, used) tuples."""
-        key, posts = tr
+        if tr[0] == "b":
+            (key, syms, rle2_len, freqs, used, syms_u8, hi_packed,
+             hi_count, _hist) = tr[1]
+            key_a, len_a, freqs_a, used_a, u8_a, hp_a, hc_a = jax.device_get(
+                (key, rle2_len, freqs, used, syms_u8, hi_packed, hi_count)
+            )
+            out = []
+            for b in range(key_a.shape[0]):
+                hc = int(hc_a[b])
+                if hc > HI_CAP:
+                    s = np.asarray(syms[b])
+                else:
+                    s = u8_a[b].astype(np.uint16)
+                    if hc:
+                        packed = hp_a[b][:hc]
+                        s[packed >> 1] = 256 + (packed & 1)
+                out.append(
+                    (int(key_a[b]), s, int(len_a[b]), freqs_a[b], used_a[b])
+                )
+            return out
+        _, key, posts = tr
         key_a, fetched = jax.device_get(
             (key, [(p[1], p[2], p[3], p[4], p[5], p[6]) for p in posts])
         )
@@ -477,18 +633,25 @@ class DeviceBlockEncoder:
         from ..kernels.huffman_dev import nsel_cap
         from ..native import code_lengths_native
 
-        key_d, posts = tr
-        syms_d = jnp.stack([p[0] for p in posts])
-        rle2_len_d = jnp.stack([p[1] for p in posts])
-        hist_d = jnp.stack([p[7] for p in posts])
-        key_a, len_a, freqs_a, used_a = jax.device_get(
-            (
-                key_d,
-                rle2_len_d,
-                [p[2] for p in posts],
-                [p[3] for p in posts],
+        if tr[0] == "b":
+            (key_d, syms_d, rle2_len_d, freqs_d, used_d, _u8, _hp, _hc,
+             hist_d) = tr[1]
+            key_a, len_a, freqs_a, used_a = jax.device_get(
+                (key_d, rle2_len_d, freqs_d, used_d)
             )
-        )
+        else:
+            _, key_d, posts = tr
+            syms_d = jnp.stack([p[0] for p in posts])
+            rle2_len_d = jnp.stack([p[1] for p in posts])
+            hist_d = jnp.stack([p[7] for p in posts])
+            key_a, len_a, freqs_a, used_a = jax.device_get(
+                (
+                    key_d,
+                    rle2_len_d,
+                    [p[2] for p in posts],
+                    [p[3] for p in posts],
+                )
+            )
         B = len(crcs)
         alphas = [int(used_a[b].sum()) + 2 for b in range(B)]
         tcs = np.array(
