@@ -87,6 +87,13 @@ def get_lib():
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_uint64,
                 ctypes.c_void_p, ctypes.c_int64,
             ]
+            lib.tpubz_find_magic2.restype = None
+            lib.tpubz_find_magic2.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_uint64, ctypes.c_uint64,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ]
             lib.tpubz_decode_block.restype = ctypes.c_int64
             lib.tpubz_decode_block.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
@@ -175,6 +182,28 @@ def find_magic_native(data: np.ndarray, magic: int):
                                  out.ctypes.data, cap)
         if n < cap:
             return out[:n]
+        cap *= 8
+
+
+def find_magic2_native(data: np.ndarray, magic1: int, magic2: int):
+    """Bit offsets of two 48-bit magics in ONE pass over the data. Returns
+    (offsets1, offsets2) int64 arrays, or None if the lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    cap = max(1024, data.size // 1000)
+    while True:
+        out1 = np.zeros(cap, dtype=np.int64)
+        out2 = np.zeros(cap, dtype=np.int64)
+        n1 = np.zeros(1, dtype=np.int64)
+        n2 = np.zeros(1, dtype=np.int64)
+        lib.tpubz_find_magic2(
+            data.ctypes.data, data.size, magic1, magic2,
+            out1.ctypes.data, cap, n1.ctypes.data,
+            out2.ctypes.data, cap, n2.ctypes.data,
+        )
+        if n1[0] <= cap and n2[0] <= cap:
+            return out1[: int(n1[0])], out2[: int(n2[0])]
         cap *= 8
 
 

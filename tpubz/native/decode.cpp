@@ -10,7 +10,9 @@
 #include <cstdint>
 #include <cstring>
 #include <vector>
+#include <memory>
 #include <algorithm>
+#include <chrono>
 
 namespace {
 
@@ -124,10 +126,21 @@ bool build_decode_table(const int32_t* lens, int alpha, DecodeTable* t) {
 //  -5 invalid code length      -6 invalid Huffman code
 //  -7 RLE2 output overflow     -8 zero-run bomb
 //  -9 output buffer too small  -10 ran out of selectors
-extern "C" int64_t tpubz_decode_block(
+// phases (when non-null): [0] header+tables, [1] Huffman payload+MTF undo,
+// [2] ibwt counting sort, [3] chase+RLE1+CRC — seconds.
+extern "C" int64_t tpubz_decode_block_prof(
     const uint8_t* data, int64_t nbits, int64_t start_bit, int32_t level,
     uint8_t* out, int64_t out_cap, int64_t* end_bit, uint32_t* block_crc_out,
-    uint32_t* computed_crc_out) {
+    uint32_t* computed_crc_out, double* phases) {
+  using Clock = std::chrono::steady_clock;
+  auto tick = Clock::now();
+  auto mark = [&](int i) {
+    if (phases) {
+      auto now = Clock::now();
+      phases[i] += std::chrono::duration<double>(now - tick).count();
+      tick = now;
+    }
+  };
   BitReader br{data, nbits, start_bit};
   uint32_t blk_crc = (uint32_t)br.read(32);
   br.bit();  // randomized flag: read and ignored
@@ -195,6 +208,7 @@ extern "C" int64_t tpubz_decode_block(
     if (!build_decode_table(lens, alpha, &tables[t])) return -5;
   }
   if (!br.ok) return -1;
+  mark(0);
   // payload: canonical Huffman decode until EOB, fused with RLE2+MTF undo.
   // One <=20-bit peek per symbol (byte-aligned 64-bit window load), then
   // per-level shift/compare — no bit-by-bit reads.
@@ -279,6 +293,7 @@ extern "C" int64_t tpubz_decode_block(
       mtf_out[pos++] = b;
     }
   }
+  mark(1);
   *end_bit = br.pos;
   *block_crc_out = blk_crc;
   int64_t n = pos;
@@ -300,41 +315,181 @@ extern "C" int64_t tpubz_decode_block(
     for (int64_t i = 0; i < n; i++)
       tt[cum[mtf_out[i]]++] = (uint32_t)i | ((uint32_t)mtf_out[i] << 24);
   }
-  // chase + inline RLE1 undo + CRC
+  mark(2);
+  // ---- inverse-BWT chase + RLE1 undo + CRC ----
+  // The serial pointer walk is latency-bound: every step is one dependent
+  // cache-missing load (~50 ns on this host). But the walk j -> tt[j]&mask
+  // visits every index exactly once (single cycle for a valid stream), so
+  // the index values that are multiples of S partition the cycle into ~n/S
+  // segments, and 16 interleaved cursors can walk mark->next-mark segments
+  // concurrently — memory-level parallelism buys ~16x the serial step rate
+  // (measured 2.8 vs 45 ns/step). RLE1+CRC then run serially over the
+  // segment buffers in discovered successor order. Any irregularity
+  // (segment overflow, or a corrupt stream whose pointer graph is not one
+  // cycle) falls back to the fused serial walk.
   uint32_t crc = 0xFFFFFFFFu;
   int64_t out_n = 0;
-  uint32_t p = n ? tt[key] : 0;
   int run = 0;
   uint8_t prev_byte = 0;
   bool expect_count = false;
-  for (int64_t i = 0; i < n; i++) {
-    uint32_t e = tt[p & 0xFFFFFF];
-    uint8_t b = (uint8_t)(p >> 24);
-    p = e;
-    if (expect_count) {
-      // count byte: emit b more copies of prev_byte
-      if (out_n + b > out_cap) return -9;
-      std::memset(&out[out_n], prev_byte, b);
-      for (int k2 = 0; k2 < b; k2++)
-        crc = (crc << 8) ^ kCrc.t[((crc >> 24) ^ prev_byte) & 0xFF];
-      out_n += b;
-      expect_count = false;
-      run = 0;
-      continue;
+  bool rle_err = false;
+  auto rle_feed = [&](const uint8_t* buf, int64_t len) {
+    for (int64_t i = 0; i < len; i++) {
+      uint8_t b = buf[i];
+      if (expect_count) {
+        // count byte: emit b more copies of prev_byte
+        if (out_n + b > out_cap) {
+          rle_err = true;
+          return;
+        }
+        std::memset(&out[out_n], prev_byte, b);
+        for (int k2 = 0; k2 < b; k2++)
+          crc = (crc << 8) ^ kCrc.t[((crc >> 24) ^ prev_byte) & 0xFF];
+        out_n += b;
+        expect_count = false;
+        run = 0;
+        continue;
+      }
+      if (out_n >= out_cap) {
+        rle_err = true;
+        return;
+      }
+      out[out_n++] = b;
+      crc = (crc << 8) ^ kCrc.t[((crc >> 24) ^ b) & 0xFF];
+      if (run > 0 && b == prev_byte)
+        run++;
+      else {
+        run = 1;
+        prev_byte = b;
+      }
+      if (run == 4) expect_count = true;
     }
-    if (out_n >= out_cap) return -9;
-    out[out_n++] = b;
-    crc = (crc << 8) ^ kCrc.t[((crc >> 24) ^ b) & 0xFF];
-    if (run > 0 && b == prev_byte)
-      run++;
-    else {
-      run = 1;
-      prev_byte = b;
+  };
+
+  constexpr int kLogS = 14;
+  constexpr int64_t kS = 1ll << kLogS;
+  constexpr int kWays = 16;
+  constexpr int64_t kSegCap = kS * 8;
+  bool done_par = false;
+  if (n >= 4 * kS) {
+    int nmark = (int)((n + kS - 1) >> kLogS);
+    const bool key_extra = (key & (kS - 1)) != 0;
+    const int nseg = nmark + (key_extra ? 1 : 0);
+    auto slot_of = [&](uint32_t j) -> int {
+      if (key_extra && j == (uint32_t)key) return 0;
+      return (int)(j >> kLogS) + (key_extra ? 1 : 0);
+    };
+    auto start_of = [&](int t) -> uint32_t {
+      if (key_extra)
+        return t == 0 ? (uint32_t)key : (uint32_t)((int64_t)(t - 1) << kLogS);
+      return (uint32_t)((int64_t)t << kLogS);
+    };
+    // new[] (not vector): value-initializing ~7MB would cost ~1-2 ms/block
+    std::unique_ptr<uint8_t[]> segbuf(new uint8_t[(size_t)nseg * kSegCap]);
+    std::vector<int64_t> seg_len(nseg, -1);
+    std::vector<uint32_t> seg_succ(nseg);
+    struct Cur {
+      uint32_t j;
+      int seg;
+      uint8_t* o;
+      uint8_t* end;
+    };
+    Cur cur[kWays];
+    int next_seg = 0;
+    int alive = 0;
+    auto claim = [&](int c) -> bool {
+      if (next_seg >= nseg) return false;
+      int t = next_seg++;
+      cur[c].j = start_of(t);
+      cur[c].seg = t;
+      cur[c].o = segbuf.get() + (size_t)t * kSegCap;
+      cur[c].end = cur[c].o + kSegCap;
+      return true;
+    };
+    for (int c = 0; c < kWays; c++) {
+      if (claim(c))
+        alive++;
+      else
+        cur[c].seg = -1;
     }
-    if (run == 4) expect_count = true;
+    bool overflow = false;
+    while (alive > 0 && !overflow) {
+      for (int c = 0; c < kWays; c++) {
+        if (cur[c].seg < 0) continue;
+        uint32_t w = tt[cur[c].j];  // tt entries' low 24 bits are < n by
+        *cur[c].o++ = (uint8_t)(w >> 24);  // construction: in-bounds always
+        uint32_t j = w & 0xFFFFFF;
+        cur[c].j = j;
+        if (((j & (uint32_t)(kS - 1)) == 0) | (j == (uint32_t)key)) {
+          int t = cur[c].seg;
+          seg_len[t] = cur[c].o - (segbuf.get() + (size_t)t * kSegCap);
+          seg_succ[t] = j;
+          if (!claim(c)) {
+            cur[c].seg = -1;
+            alive--;
+          }
+        } else if (cur[c].o == cur[c].end) {
+          overflow = true;
+          break;
+        }
+      }
+    }
+    if (!overflow) {
+      int64_t total = 0;
+      for (int t = 0; t < nseg; t++) total += seg_len[t] < 0 ? 0 : seg_len[t];
+      if (total == n) {
+        // stitch: feed segments through RLE1+CRC in cycle order from the
+        // key's segment; a revisit or missing segment means the pointer
+        // graph was not one cycle (corrupt stream) -> serial fallback
+        int t = slot_of((uint32_t)key);
+        int visited = 0;
+        bool bad = false;
+        while (visited < nseg) {
+          if (t < 0 || t >= nseg || seg_len[t] < 0) {
+            bad = true;
+            break;
+          }
+          rle_feed(segbuf.get() + (size_t)t * kSegCap, seg_len[t]);
+          if (rle_err) return -9;  // output overflow: identical in serial
+          uint32_t succ = seg_succ[t];
+          seg_len[t] = -2;  // revisit guard
+          visited++;
+          t = slot_of(succ);
+        }
+        done_par = !bad;
+      }
+    }
+  }
+  if (!done_par) {
+    // fused serial walk: small blocks, and the fallback for any stream the
+    // segmented walk could not partition cleanly
+    crc = 0xFFFFFFFFu;
+    out_n = 0;
+    run = 0;
+    prev_byte = 0;
+    expect_count = false;
+    rle_err = false;
+    uint32_t p = n ? tt[key] : 0;
+    for (int64_t i = 0; i < n; i++) {
+      uint32_t e = tt[p & 0xFFFFFF];
+      uint8_t b = (uint8_t)(p >> 24);
+      p = e;
+      rle_feed(&b, 1);
+      if (rle_err) return -9;
+    }
   }
   *computed_crc_out = crc ^ 0xFFFFFFFFu;
+  mark(3);
   return out_n;
+}
+
+extern "C" int64_t tpubz_decode_block(
+    const uint8_t* data, int64_t nbits, int64_t start_bit, int32_t level,
+    uint8_t* out, int64_t out_cap, int64_t* end_bit, uint32_t* block_crc_out,
+    uint32_t* computed_crc_out) {
+  return tpubz_decode_block_prof(data, nbits, start_bit, level, out, out_cap,
+                                 end_bit, block_crc_out, computed_crc_out,
+                                 nullptr);
 }
 
 // Stream CRC fold helper (order-dependent; reference src/tools/crc.rs:25-27).
@@ -373,4 +528,46 @@ extern "C" int64_t tpubz_find_magic(const uint8_t* data, int64_t nbytes,
     w7 = (w7 << 8) & mask56;
   }
   return found < cap ? found : cap;
+}
+
+// Fused two-magic scan: one pass over the sliding 56-bit window finds both
+// the block magic and the footer magic (the decompressor needs both; two
+// separate scans cost twice the memory pass).
+extern "C" void tpubz_find_magic2(const uint8_t* data, int64_t nbytes,
+                                  uint64_t magic1, uint64_t magic2,
+                                  int64_t* out1, int64_t cap1, int64_t* n1_out,
+                                  int64_t* out2, int64_t cap2,
+                                  int64_t* n2_out) {
+  *n1_out = 0;
+  *n2_out = 0;
+  if (nbytes < 6) return;
+  int64_t f1 = 0, f2 = 0;
+  const uint64_t mask = (1ull << 48) - 1;
+  const uint64_t mask56 = (1ull << 56) - 1;
+  uint64_t w7 = 0;
+  for (int i = 0; i < 6 && i < nbytes; i++) w7 = (w7 << 8) | data[i];
+  w7 <<= 8;
+  for (int64_t p = 0; p + 6 <= nbytes; p++) {
+    int smax;
+    if (p + 7 <= nbytes) {
+      w7 = (w7 & ~0xFFull) | data[p + 6];
+      smax = 8;
+    } else {
+      w7 &= ~0xFFull;
+      smax = 1;
+    }
+    for (int s = 0; s < smax; s++) {
+      uint64_t v = (w7 >> (8 - s)) & mask;
+      if (v == magic1) {
+        if (f1 < cap1) out1[f1] = 8 * p + s;
+        f1++;
+      } else if (v == magic2) {
+        if (f2 < cap2) out2[f2] = 8 * p + s;
+        f2++;
+      }
+    }
+    w7 = (w7 << 8) & mask56;
+  }
+  *n1_out = f1;
+  *n2_out = f2;
 }

@@ -106,8 +106,15 @@ def _decompress_one(data: bytes) -> tuple[bytes, int]:
         # this stream's level wastes threads and made concatenations
         # O(streams x size). A false-positive footer hit only prunes
         # pre-decodes; the serial walk below still decodes those blocks.
-        candidates = [int(c) for c in find_magic_bit_offsets(data) if c >= 32]
-        footers = find_magic_bit_offsets(data, FOOTER_MAGIC)
+        from ..native import find_magic2_native
+
+        both = find_magic2_native(arr, BLOCK_MAGIC, FOOTER_MAGIC)
+        if both is not None:
+            blocks_hits, footers = both
+        else:
+            blocks_hits = find_magic_bit_offsets(data)
+            footers = find_magic_bit_offsets(data, FOOTER_MAGIC)
+        candidates = [int(c) for c in blocks_hits if c >= 32]
         if footers.size:
             cutoff = int(footers[0])
             candidates = [c for c in candidates if c < cutoff]
