@@ -234,21 +234,32 @@ extern "C" int64_t tpubz_decode_block_prof(
     }
     return (int64_t)((acc >> (64 - (bitpos & 7) - n)) & ((1ll << n) - 1));
   };
-  int64_t pos = 0;
-  int64_t zeros = 0;
-  int64_t bit_mult = 1;
+  // pass 1 — symbol decode only (tight loop: one unaligned big-endian load
+  // per symbol makes a 52-bit MSB-aligned window, LUT hit resolves sym+len
+  // in two shifts; no MTF work interleaved so branches stay predictable).
+  // A symbol count > max_size+1 can only come from a stream whose output
+  // would overflow anyway -> -7, matching the fused loop's eventual error.
+  std::unique_ptr<uint16_t[]> symbuf(new uint16_t[(size_t)max_size + 2]);
+  int64_t scount = 0;
   bool done = false;
-  // per-group outer loop: table pointer, max_len and lut are hoisted out of
-  // the 50-symbol inner loop
   for (int64_t group = 0; !done; group++) {
     if (group >= (int64_t)selectors.size()) return -10;
     const DecodeTable& T = tables[selectors[group]];
     const int maxl = T.max_len;
     const int16_t* lut = T.lut;
     for (int g = 0; g < kGroupSize; g++) {
-      if (br.pos + T.min_len > nbits) return -1;
       int sym, l;
-      int16_t hit = lut[peek(br.pos, kLutBits)];
+      uint64_t window;
+      int64_t idx = br.pos >> 3;
+      if (idx + 8 <= nbytes_total) {
+        uint64_t acc;
+        std::memcpy(&acc, data + idx, 8);
+        window = __builtin_bswap64(acc) << (br.pos & 7);
+      } else {
+        if (br.pos + T.min_len > nbits) return -1;
+        window = (uint64_t)peek(br.pos, 56) << 8;  // guarded stream tail
+      }
+      int16_t hit = lut[window >> (64 - kLutBits)];
       if (hit >= 0) {
         sym = hit >> 5;
         l = hit & 31;
@@ -256,42 +267,69 @@ extern "C" int64_t tpubz_decode_block_prof(
         // lut miss => true code longer than kLutBits; for corrupt/incomplete
         // codes max_len may still be <= kLutBits — reject before shifting
         if (maxl <= kLutBits) return -6;
-        int64_t window = peek(br.pos, maxl);  // may peek past valid bits
+        int64_t cw = (int64_t)(window >> (64 - maxl));
         l = kLutBits + 1 <= T.min_len ? T.min_len : kLutBits + 1;
-        int64_t code = window >> (maxl - l);
+        int64_t code = cw >> (maxl - l);
         while (code > T.limit[l]) {
           if (l >= maxl) return -6;
           l++;
-          code = window >> (maxl - l);
+          code = cw >> (maxl - l);
         }
         sym = T.syms[T.off[l] + code - T.base[l]];
       }
       if (br.pos + l > nbits) return -1;
       br.pos += l;
-      if (sym <= 1) {  // RUNA / RUNB
-        zeros += bit_mult * (sym + 1);
-        bit_mult <<= 1;
-        if (zeros > kZeroBomb) return -8;
-        continue;
-      }
-      if (zeros) {
-        if (pos + zeros > max_size) return -7;
-        std::memset(&mtf_out[pos], mtf[0], zeros);
-        pos += zeros;
-        zeros = 0;
-        bit_mult = 1;
-      }
       if (sym == eob) {
         done = true;
         break;
       }
-      int r = sym - 1;
-      uint8_t b = mtf[r];
+      if (scount > max_size) return -7;
+      symbuf[scount++] = (uint16_t)sym;
+    }
+  }
+  // pass 2 — RLE2 + MTF undo over the symbol buffer. Ranks < 8 use a
+  // branchless u64 rotate-insert on the front of the MTF list instead of a
+  // memmove call (most symbols of compressible data live there).
+  int64_t pos = 0;
+  int64_t zeros = 0;
+  int64_t bit_mult = 1;
+  for (int64_t i = 0; i < scount; i++) {
+    int sym = symbuf[i];
+    if (sym <= 1) {  // RUNA / RUNB
+      zeros += bit_mult << sym;
+      bit_mult <<= 1;
+      if (zeros > kZeroBomb) return -8;
+      continue;
+    }
+    if (zeros) {
+      if (pos + zeros > max_size) return -7;
+      std::memset(&mtf_out[pos], mtf[0], zeros);
+      pos += zeros;
+      zeros = 0;
+      bit_mult = 1;
+    }
+    int r = sym - 1;
+    uint8_t b;
+    if (r < 8) {
+      uint64_t v;
+      std::memcpy(&v, mtf, 8);
+      b = (uint8_t)(v >> (8 * r));
+      uint64_t low = r == 0 ? 0 : (v & ((1ull << (8 * r)) - 1));
+      uint64_t keep = r == 7 ? 0 : (v & ~((1ull << (8 * (r + 1))) - 1));
+      v = (low << 8) | b | keep;
+      std::memcpy(mtf, &v, 8);
+    } else {
+      b = mtf[r];
       std::memmove(&mtf[1], &mtf[0], r);
       mtf[0] = b;
-      if (pos >= max_size) return -7;
-      mtf_out[pos++] = b;
     }
+    if (pos >= max_size) return -7;
+    mtf_out[pos++] = b;
+  }
+  if (zeros) {  // zero run pending at EOB
+    if (pos + zeros > max_size) return -7;
+    std::memset(&mtf_out[pos], mtf[0], zeros);
+    pos += zeros;
   }
   mark(1);
   *end_bit = br.pos;
