@@ -289,28 +289,31 @@ def _stage_full_b(data, n):
     return key, syms, rle2_len, freqs, used, syms_u8, hi_packed, hi_count, hist
 
 
-def _probe_full_b() -> bool:
-    """Like _probe_full, for the batched fused graph (stamped separately by
-    warm_aot_full_b)."""
+def _probe_full_b() -> int:
+    """Batch size of the AOT-warmed batched fused graph (0 = not warm for
+    the current sources). TPUBZ_FUSED_BATCH=0 disables; =N forces batch N
+    (test/backends with fast compiles)."""
     mode = os.environ.get("TPUBZ_FUSED_BATCH", "auto")
-    if mode in ("0", "1"):
-        return mode == "1"
+    if mode != "auto":
+        return int(mode)
     try:
         with open(_stamp_path() + "_b") as f:
-            return f.read().strip() == _src_hash()
-    except OSError:
-        return False
+            h, b = f.read().split()
+            return int(b) if h == _src_hash() else 0
+    except (OSError, ValueError):
+        return 0
 
 
 def warm_aot_full_b(level: int = 9, batch: int = 8):
-    """AOT-compile the batched fused single-launch graph and stamp it."""
+    """AOT-compile the batched fused single-launch graph and stamp it with
+    the batch size (production batches at exactly this size)."""
     setup_jax_cache()
     N = DeviceBlockEncoder(level).N
     d = jax.ShapeDtypeStruct((batch, N), jnp.uint8)
     n = jax.ShapeDtypeStruct((batch,), jnp.int32)
     exe = _stage_full_b.lower(d, n).compile()
     with open(_stamp_path() + "_b", "w") as f:
-        f.write(_src_hash())
+        f.write(f"{_src_hash()} {batch}")
     return exe
 
 
@@ -547,11 +550,12 @@ class DeviceBlockEncoder:
             ns[i] = max(blk.size, 1)
         data = jnp.asarray(pad)
         n = jnp.asarray(ns)
-        if _probe_full_b():
+        if _probe_full_b() == B:
             # ONE launch for the whole batch (fused batched graph, AOT-
-            # warmed). The outputs stay as whole batched arrays — per-block
-            # indexing would dispatch one slice program per block — and the
-            # materialize/devrefine consumers slice on host after one fetch.
+            # warmed at exactly this batch size). The outputs stay as whole
+            # batched arrays — per-block indexing would dispatch one slice
+            # program per block — and the materialize/devrefine consumers
+            # slice on host after one fetch.
             return ("b", _stage_full_b(data, n))
         key, last = _stage_bwt_b(data, n)
         mode = os.environ.get("TPUBZ_BATCH_STAGES", "perblock")

@@ -46,19 +46,41 @@ struct BitReader {
   int bit() { return (int)read(1); }
 };
 
-// bzip2 CRC32 table (MSB-first, poly 0x04C11DB7)
+// bzip2 CRC32 (MSB-first, poly 0x04C11DB7) with slice-by-8 tables:
+// processing 8 bytes per iteration breaks the 1-byte dependent-lookup chain
+// (~3 ns/byte) into 8 independent lookups (~1 ns/byte).
 struct CrcTable {
-  uint32_t t[256];
+  uint32_t t[8][256];
   CrcTable() {
     for (uint32_t i = 0; i < 256; i++) {
       uint32_t c = i << 24;
       for (int k = 0; k < 8; k++)
         c = (c & 0x80000000u) ? (c << 1) ^ 0x04C11DB7u : (c << 1);
-      t[i] = c;
+      t[0][i] = c;
     }
+    for (int s = 1; s < 8; s++)
+      for (uint32_t i = 0; i < 256; i++)
+        t[s][i] = (t[s - 1][i] << 8) ^ t[0][t[s - 1][i] >> 24];
   }
 };
 const CrcTable kCrc;
+
+// CRC over a buffer, slice-by-8, with bzip2's pre/post inversion.
+uint32_t crc32_buf(const uint8_t* p, int64_t n) {
+  uint32_t crc = 0xFFFFFFFFu;
+  int64_t i = 0;
+  for (; i + 8 <= n; i += 8) {
+    crc = kCrc.t[7][p[i] ^ (crc >> 24)] ^
+          kCrc.t[6][p[i + 1] ^ ((crc >> 16) & 0xFF)] ^
+          kCrc.t[5][p[i + 2] ^ ((crc >> 8) & 0xFF)] ^
+          kCrc.t[4][p[i + 3] ^ (crc & 0xFF)] ^
+          kCrc.t[3][p[i + 4]] ^ kCrc.t[2][p[i + 5]] ^
+          kCrc.t[1][p[i + 6]] ^ kCrc.t[0][p[i + 7]];
+  }
+  for (; i < n; i++)
+    crc = (crc << 8) ^ kCrc.t[0][((crc >> 24) ^ p[i]) & 0xFF];
+  return crc ^ 0xFFFFFFFFu;
+}
 
 constexpr int kLutBits = 12;
 
@@ -365,7 +387,6 @@ extern "C" int64_t tpubz_decode_block_prof(
   // segment buffers in discovered successor order. Any irregularity
   // (segment overflow, or a corrupt stream whose pointer graph is not one
   // cycle) falls back to the fused serial walk.
-  uint32_t crc = 0xFFFFFFFFu;
   int64_t out_n = 0;
   int run = 0;
   uint8_t prev_byte = 0;
@@ -381,8 +402,6 @@ extern "C" int64_t tpubz_decode_block_prof(
           return;
         }
         std::memset(&out[out_n], prev_byte, b);
-        for (int k2 = 0; k2 < b; k2++)
-          crc = (crc << 8) ^ kCrc.t[((crc >> 24) ^ prev_byte) & 0xFF];
         out_n += b;
         expect_count = false;
         run = 0;
@@ -393,7 +412,6 @@ extern "C" int64_t tpubz_decode_block_prof(
         return;
       }
       out[out_n++] = b;
-      crc = (crc << 8) ^ kCrc.t[((crc >> 24) ^ b) & 0xFF];
       if (run > 0 && b == prev_byte)
         run++;
       else {
@@ -501,7 +519,6 @@ extern "C" int64_t tpubz_decode_block_prof(
   if (!done_par) {
     // fused serial walk: small blocks, and the fallback for any stream the
     // segmented walk could not partition cleanly
-    crc = 0xFFFFFFFFu;
     out_n = 0;
     run = 0;
     prev_byte = 0;
@@ -516,7 +533,9 @@ extern "C" int64_t tpubz_decode_block_prof(
       if (rle_err) return -9;
     }
   }
-  *computed_crc_out = crc ^ 0xFFFFFFFFu;
+  // CRC in one slice-by-8 pass over the final output (the fused per-byte
+  // chain would serialize the RLE1 feed at ~3 ns/byte)
+  *computed_crc_out = crc32_buf(out, out_n);
   mark(3);
   return out_n;
 }

@@ -43,11 +43,22 @@ DEVICE_REFINE = os.environ.get("TPUBZ_DEVICE_REFINE", "0") != "0"
 EMIT_THREADS = int(
     os.environ.get("TPUBZ_EMIT_THREADS", "6" if DEVICE_REFINE else "3")
 )
-# blocks per device call: 0 = one block per call (default: the async
-# per-block window already overlaps transfers with compute, and the
-# measured bottleneck is device kernel time, which batching doesn't cut;
-# batching B>1 amortizes launch overhead when call count dominates).
-BATCH = int(os.environ.get("TPUBZ_BATCH", "0"))
+# blocks per device call: "auto" (default) uses the AOT-warmed batched
+# fused graph's batch size when its stamp is current (one launch and one
+# large upload per batch amortize the relay's ~40ms per-call overhead),
+# else one block per call; an integer forces that batch size.
+_BATCH_ENV = os.environ.get("TPUBZ_BATCH", "auto")
+
+
+def _batch_size() -> int:
+    if _BATCH_ENV != "auto":
+        return int(_BATCH_ENV)
+    try:
+        from ..block.encode import _probe_full_b
+
+        return _probe_full_b()
+    except Exception:
+        return 0
 
 _encoders: dict[int, object] = {}
 
@@ -118,6 +129,7 @@ def compress(data: bytes | np.ndarray, level: int = 9) -> bytes:
 def _device_block_results(enc, arr, out, blocks):
     """Run blocks through the device pipeline; yield (crc, vals, bits) in
     block order while later blocks are still in flight."""
+    BATCH = _batch_size()
     if BATCH > 1 and len(blocks) >= BATCH:
         # full batches only: every distinct batch shape compiles its own
         # device program, so the batched path always runs exactly BATCH
@@ -187,6 +199,7 @@ def _hostref_block_results_batched(enc, arr, out, blocks):
 
     from ..block.encode import DeviceBlockEncoder
 
+    BATCH = _batch_size()
     batches = [blocks[i : i + BATCH] for i in range(0, len(blocks), BATCH)]
     fetch_pool = ThreadPoolExecutor(2)
     emit_pool = ThreadPoolExecutor(max(EMIT_THREADS, 3))
@@ -234,6 +247,7 @@ def _device_block_results_batched(enc, arr, out, blocks):
     host-side tree builds overlap another's device work."""
     from concurrent.futures import ThreadPoolExecutor
 
+    BATCH = _batch_size()
     batches = [
         blocks[i : i + BATCH] for i in range(0, len(blocks), BATCH)
     ]
