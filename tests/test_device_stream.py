@@ -79,7 +79,7 @@ def test_hostref_batched_byte_identical(rng, monkeypatch):
     from tpubz.stream import api
 
     monkeypatch.setattr(api, "DEVICE_REFINE", False)
-    monkeypatch.setattr(api, "BATCH", 8)
+    monkeypatch.setattr(api, "_BATCH_ENV", "8")
     d = (
         bytes(rng.integers(0, 64, 400_000, dtype=np.uint8))
         + b"lorem ipsum dolor sit amet\n" * 10_000
@@ -98,7 +98,7 @@ def test_device_stream_batched_byte_identical(rng, monkeypatch):
     from tpubz.stream import api
 
     monkeypatch.setattr(api, "DEVICE_REFINE", True)
-    monkeypatch.setattr(api, "BATCH", 8)
+    monkeypatch.setattr(api, "_BATCH_ENV", "8")
     d = (
         bytes(rng.integers(0, 64, 500_000, dtype=np.uint8))
         + b"the quick brown fox\n" * 12_000
