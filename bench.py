@@ -50,7 +50,7 @@ def build_corpus(mb: int = 8) -> bytes:
 
 def main():
     level = 9
-    trials = max(1, int(os.environ.get("TPUBZ_BENCH_TRIALS", "3")))
+    trials = max(1, int(os.environ.get("TPUBZ_BENCH_TRIALS", "5")))
     corpus = build_corpus(int(os.environ.get("TPUBZ_BENCH_MB", "8")))
     from tpubz.stream.api import compress
     from tpubz.stream.decode import decompress

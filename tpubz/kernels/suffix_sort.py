@@ -14,8 +14,22 @@ rolls, so each round avoids them entirely:
   - the mod-n shifted-rank lookup is two dynamic rolls + a select;
   - the rank write-back to position space is a sort keyed by position
     instead of a scatter.
-The loop body is a fixed 21-round `fori_loop` (while_loop has pathological
-per-iteration overhead here) with converged rounds frozen via select.
+The loop body is a fixed-trip `fori_loop` (while_loop has pathological
+per-iteration overhead here) with converged rounds frozen via select, and
+the initial rank packs THREE bytes into one int32 key (cover 3 before the
+first sort instead of 1), which drops ~log2(3) doubling rounds.
+
+Why not a Pallas radix sort (SURVEY §7's "make-or-break kernel",
+reference hot loop src/bwt_algorithms/bwt_sort.rs:27-86)? Measured on the
+real v5e at the 900k shape: one doubling round (two-key variadic
+`lax.sort` + cumsum re-rank + sort-by-position write-back) costs ~4.1 ms;
+replacing the write-back sort with an XLA scatter costs ~65 ms/round even
+OUTSIDE lax loops — TPU has no vectorized scatter, so every radix
+"partition move" formulation (LSD histogram + scatter) degrades to a
+serialized store loop. Applying a permutation without scatter IS a sort,
+which makes XLA's native sort the radix machinery on this hardware; the
+win available is fewer/cheaper rounds (3-byte seed, convergence freeze),
+not a hand-rolled sort kernel.
 """
 from __future__ import annotations
 
@@ -23,8 +37,8 @@ import jax
 import jax.numpy as jnp
 
 PAD_RANK = 1 << 30
-ROUNDS = 21  # ceil(log2(900k)) + 1; rank refinement is monotone and frozen
-             # via `done` once it reaches fixpoint
+ROUNDS = 19  # cover 3*2^19 = 1.57M >= 900k; rank refinement is monotone and
+             # frozen via `done` once it reaches fixpoint
 
 
 def bwt_forward(
@@ -67,8 +81,13 @@ def bwt_forward(
         _, new_rank = jax.lax.sort((order, new_sorted), num_keys=1)
         return jnp.where(valid, new_rank, PAD_RANK)
 
-    rank = jnp.where(valid, data.astype(jnp.int32), PAD_RANK)
-    rank = one_round(rank, jnp.int32(1))  # covers k=2 (byte, next byte)
+    # initial rank: THREE bytes packed into one int32 (cyclic), so the
+    # first sort round already refines cover-3 order into cover-6 — the
+    # rank values need only be order-consistent, not dense, and 24 bits
+    # stay below PAD_RANK
+    d0 = data.astype(jnp.int32)
+    rank0 = (d0 << 16) | (shifted(d0, 1) << 8) | shifted(d0, 2)
+    rank = jnp.where(valid, rank0, PAD_RANK)
 
     def body(i, carry):
         rank, k, done = carry
@@ -83,7 +102,7 @@ def bwt_forward(
         return new_rank, k * 2, done2
 
     rank, _, _ = jax.lax.fori_loop(
-        0, ROUNDS, body, (rank, jnp.int32(2), n < 0)
+        0, ROUNDS, body, (rank, jnp.int32(3), n < 0)
     )
 
     # final order; identical rotations (periodic data) still tie — break by
