@@ -107,3 +107,52 @@ def test_device_stream_batched_byte_identical(rng, monkeypatch):
     c_dev = api.compress(d, 1)  # ~9 blocks at level 1: 8 batched + 1 single
     assert c_dev == host_compress(d, 1)
     assert decompress(c_dev) == d
+
+
+@pytest.mark.slow
+def test_lean_fused_graph_matches_full(rng, monkeypatch):
+    """The lean host-refine fused graph (_stage_full_lean: no device
+    freqs/hist, sort-based hi sidecar, host EOB re-stamp + bincount) must
+    materialize to exactly the full graph's (key, syms, rle2_len, freqs,
+    used) — including on inputs that produce rank-255 literals (symbol 256),
+    which exercise the sidecar reconstruction."""
+    from tpubz.block import encode as E
+
+    monkeypatch.setattr(E, "_lean_ok", True)
+    monkeypatch.setattr(E, "_full_ok", True)
+    enc = E.DeviceBlockEncoder(1)
+    cases = [
+        rng.integers(0, 256, 80_000, dtype=np.uint8),
+        np.tile(np.arange(256, dtype=np.uint8), 200),  # hits symbol 256
+        np.frombuffer(b"abracadabra " * 5_000, np.uint8).copy(),
+        np.zeros(1, np.uint8),
+    ]
+    for arr in cases:
+        lean = E.materialize(enc.transform(arr, lean=True))
+        full = E.materialize(enc.transform(arr, lean=False))
+        assert lean[0] == full[0] and lean[2] == full[2]
+        np.testing.assert_array_equal(
+            lean[1][: lean[2]], full[1][: full[2]]
+        )
+        np.testing.assert_array_equal(lean[3], np.asarray(full[3]))
+        np.testing.assert_array_equal(np.asarray(lean[4]), np.asarray(full[4]))
+
+
+@pytest.mark.slow
+def test_lean_stream_byte_identical(rng, monkeypatch):
+    """Production host-refine stream through the lean fused graph: bytes
+    must match the host reference exactly."""
+    from tpubz.block import encode as E
+    from tpubz.stream import api
+
+    monkeypatch.setattr(E, "_lean_ok", True)
+    monkeypatch.setattr(api, "DEVICE_REFINE", False)
+    monkeypatch.setattr(api, "_BATCH_ENV", "0")
+    d = (
+        bytes(np.tile(np.arange(256, dtype=np.uint8), 300))
+        + b"lorem ipsum dolor sit amet\n" * 8_000
+        + bytes(rng.integers(0, 256, 120_000, dtype=np.uint8))
+    )
+    c_dev = api.compress(d, 1)
+    assert c_dev == host_compress(d, 1)
+    assert decompress(c_dev) == d

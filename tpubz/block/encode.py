@@ -214,9 +214,35 @@ def _stage_full(data, n):
     return (key, *post)
 
 
-# whether the fused single-launch graph is available (compiled/cached) on
+@jax.jit
+def _stage_full_lean(data, n):
+    """Host-refine production transform: BWT + MTF + RLE2 + compact in ONE
+    launch, with everything the host-refine path never reads on device cut
+    out of the graph — no freqs (host np.bincount on the fetched stream),
+    no chunk hist (the native refine engine builds its own), and a sort-based
+    hi-symbol sidecar instead of the cumsum+scatter compaction. The EOB
+    symbol is re-stamped on host (its position rle2_len-1 and value
+    used_count+1 are both known there), so the sidecar only carries body
+    symbols == 256 (rank-255 literals; rare)."""
+    key, last = bwt_forward(data, n)
+    ranks, used = mtf_ranks(last, n, chunk=MTF_CHUNK)
+    eob = jnp.sum(used).astype(jnp.int32) + 1
+    syms, rle2_len, _ = rle2_encode(ranks, n, eob, with_freqs=False)
+    s32 = syms.astype(jnp.int32)
+    idx = jnp.arange(s32.shape[0], dtype=jnp.int32)
+    is_hi = (s32 >= 256) & (idx < rle2_len - 1)
+    hi_key = jnp.where(is_hi, idx, jnp.int32(1 << 30))
+    (hi_sorted,) = jax.lax.sort((hi_key,), num_keys=1)
+    hi_pos = hi_sorted[:HI_CAP]
+    hi_count = jnp.sum(is_hi.astype(jnp.int32))
+    syms_u8 = jnp.minimum(s32, 255).astype(jnp.uint8)
+    return key, syms, rle2_len, used, syms_u8, hi_pos, hi_count
+
+
+# whether the fused single-launch graphs are available (compiled/cached) on
 # this backend; probed once by _transform
 _full_ok: bool | None = None
+_lean_ok: bool | None = None
 
 
 def _src_hash() -> str:
@@ -237,7 +263,13 @@ def _src_hash() -> str:
                 h.update(f.read())
     # only the graph-shaping pieces of this module, so unrelated host-side
     # edits don't force a re-warm
-    for fn in (_stage_full, _stage_full_b, _stage_post, _stage_compact):
+    for fn in (
+        _stage_full,
+        _stage_full_lean,
+        _stage_full_b,
+        _stage_post,
+        _stage_compact,
+    ):
         h.update(inspect.getsource(fn.__wrapped__).encode())
     h.update(f"{MTF_CHUNK},{HI_CAP}".encode())
     return h.hexdigest()
@@ -265,6 +297,23 @@ def _probe_full() -> bool:
             except OSError:
                 _full_ok = False
     return _full_ok
+
+
+def _probe_full_lean() -> bool:
+    """Like _probe_full, for the lean host-refine fused graph (its own stamp
+    since it compiles separately). TPUBZ_FUSED=0/1 overrides both."""
+    global _lean_ok
+    if _lean_ok is None:
+        mode = os.environ.get("TPUBZ_FUSED", "auto")
+        if mode in ("0", "1"):
+            _lean_ok = mode == "1"
+        else:
+            try:
+                with open(_stamp_path() + "_lean") as f:
+                    _lean_ok = f.read().strip() == _src_hash()
+            except OSError:
+                _lean_ok = False
+    return _lean_ok
 
 
 @jax.jit
@@ -317,22 +366,30 @@ def warm_aot_full_b(level: int = 9, batch: int = 8):
     return exe
 
 
-def warm_aot_full(level: int = 9):
-    """AOT-compile the fused single-launch graph (minutes of remote compile
+def warm_aot_full(level: int = 9, lean_only: bool = False):
+    """AOT-compile the fused single-launch graphs (minutes of remote compile
     service time, zero chip time) and stamp the cache so _transform routes
-    through it. Run in the background after any kernel edit."""
+    through them. Run in the background after any kernel edit. The lean
+    (host-refine) graph is the production default; the full graph also
+    carries freqs/hist for the device-refine path."""
     setup_jax_cache()
     N = DeviceBlockEncoder(level).N
     d = jax.ShapeDtypeStruct((N,), jnp.uint8)
     n = jax.ShapeDtypeStruct((), jnp.int32)
+    exe = _stage_full_lean.lower(d, n).compile()
+    with open(_stamp_path() + "_lean", "w") as f:
+        f.write(_src_hash())
+    if lean_only:
+        return exe
     exe = _stage_full.lower(d, n).compile()
     with open(_stamp_path(), "w") as f:
         f.write(_src_hash())
     return exe
 
 
-def _transform(data, n):
-    """data uint8[N] (first n valid) -> (key, syms, rle2_len, freqs, used).
+def _transform(data, n, lean: bool = False):
+    """data uint8[N] (first n valid) -> transform tuple (lean 7-tuple or
+    full 9-tuple; materialize handles both).
 
     One fused launch when the fused graph is cached; otherwise two stages
     (BWT, fused post). The split exists because this backend's compile time
@@ -340,6 +397,8 @@ def _transform(data, n):
     minutes to compile vs ~1 minute for the stages) and the persistent
     compilation cache survives single-stage edits.
     """
+    if lean and _probe_full_lean():
+        return _stage_full_lean(data, n)
     if _probe_full():
         return _stage_full(data, n)
     key, last = _stage_bwt(data, n)
@@ -374,7 +433,24 @@ def materialize(out):
     device_get (each separate fetch pays a full relay round trip, ~tens of
     ms): returns (key, syms u16, rle2_len, freqs, used). The symbol stream
     travels in the compact u8 + sidecar form; the full u16 array is only
-    pulled on sidecar overflow (rare)."""
+    pulled on sidecar overflow (rare). Lean 7-tuples (no device freqs) get
+    their frequency table from a host bincount over the fetched stream and
+    the EOB re-stamped at rle2_len-1."""
+    if len(out) == 7:
+        key, syms, rle2_len, used, syms_u8, hi_pos, hi_count = out
+        key, rle2_len, used, syms_u8, hi_pos, hc = jax.device_get(
+            (key, rle2_len, used, syms_u8, hi_pos, hi_count)
+        )
+        rl, hc = int(rle2_len), int(hc)
+        if hc > HI_CAP:
+            s = np.asarray(syms)
+        else:
+            s = syms_u8.astype(np.uint16)
+            if hc:
+                s[hi_pos[:hc]] = 256
+            s[rl - 1] = int(used.sum()) + 1  # EOB
+        freqs = np.bincount(s[:rl], minlength=258).astype(np.int64)
+        return int(key), s, rl, freqs, used
     key, syms, rle2_len, freqs, used, syms_u8, hi_packed, hi_count = out[:8]
     key, rle2_len, freqs, used, syms_u8, hi_packed, hc = jax.device_get(
         (key, rle2_len, freqs, used, syms_u8, hi_packed, hi_count)
@@ -403,13 +479,15 @@ class DeviceBlockEncoder:
         raw = level * 100_000
         self.N = ((raw + MTF_CHUNK - 1) // MTF_CHUNK) * MTF_CHUNK
 
-    def transform(self, rle1_block: np.ndarray):
+    def transform(self, rle1_block: np.ndarray, lean: bool = False):
         pad = np.zeros(self.N, np.uint8)
         pad[: rle1_block.size] = rle1_block
-        return _transform(jnp.asarray(pad), jnp.int32(rle1_block.size))
+        return _transform(jnp.asarray(pad), jnp.int32(rle1_block.size), lean)
 
     def encode_block(self, rle1_block: np.ndarray, crc: int) -> BitAccum:
-        key, syms, rle2_len, freqs, used = materialize(self.transform(rle1_block))
+        key, syms, rle2_len, freqs, used = materialize(
+            self.transform(rle1_block, lean=True)
+        )
         return self.emit_block(key, syms, rle2_len, freqs, used, crc)
 
     @staticmethod

@@ -98,17 +98,14 @@ def mtf_ranks(
     nc = N // chunk
     idx = jnp.arange(N, dtype=jnp.int32)
     valid = idx < n
-    sym = jnp.where(valid, last.astype(jnp.int32), 255)
-
-    used = jnp.zeros(256, jnp.bool_).at[jnp.where(valid, sym, 256)].set(
-        True, mode="drop"
-    )
-    init_rank = jnp.where(used, jnp.cumsum(used.astype(jnp.int32)) - 1, ABSENT)
+    # pad lanes carry symbol 256 (their own column in last_pos) so `used`
+    # falls out of the occurrence scan below with no dedicated scatter
+    sym = jnp.where(valid, last.astype(jnp.int32), 256)
 
     s_sym, s_idx, prev_g, next_g, irank_pos = _prev_next_irank(sym, idx, N)
 
     # per-(chunk, symbol) last occurrence: flag last-in-chunk entries in the
-    # (sym, idx) sorted stream, one structured scatter into (nc, 256)
+    # (sym, idx) sorted stream, one structured scatter into (nc, 257)
     s_cid = s_idx // chunk
     nxt_diff = jnp.concatenate(
         ((s_sym[1:] != s_sym[:-1]) | (s_cid[1:] != s_cid[:-1]), jnp.ones(1, jnp.bool_))
@@ -116,14 +113,17 @@ def mtf_ranks(
     tgt_c = jnp.where(nxt_diff, s_cid, nc)
     tgt_s = jnp.where(nxt_diff, s_sym, 0)
     last_pos = (
-        jnp.full((nc, 256), -1, jnp.int32)
+        jnp.full((nc, 257), -1, jnp.int32)
         .at[tgt_c, tgt_s]
         .max(s_idx, mode="drop")
     )
-    # exclusive running max over chunks = last occurrence before chunk start
+    # exclusive running max over chunks = last occurrence before chunk start;
+    # the scan's final row is the global last occurrence, so `used` is free
     run = jax.lax.associative_scan(jnp.maximum, last_pos, axis=0)
+    used = run[-1, :256] >= 0
+    init_rank = jnp.where(used, jnp.cumsum(used.astype(jnp.int32)) - 1, ABSENT)
     last_before = jnp.concatenate(
-        (jnp.full((1, 256), -1, jnp.int32), run[:-1]), axis=0
+        (jnp.full((1, 256), -1, jnp.int32), run[:-1, :256]), axis=0
     )
     keyrow = jnp.where(
         last_before >= 0, N - last_before, 2 * N + init_rank[None, :]

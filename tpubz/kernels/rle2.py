@@ -27,13 +27,18 @@ def num_digits(run_len):
 
 
 def rle2_encode(
-    ranks: jnp.ndarray, n: jnp.ndarray, eob: jnp.ndarray
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    ranks: jnp.ndarray,
+    n: jnp.ndarray,
+    eob: jnp.ndarray,
+    with_freqs: bool = True,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray | None]:
     """ranks: int32[N] MTF ranks (first n valid).
 
     Returns (syms uint16[N+8], rle2_len, freqs int32[258]): the RLE2 symbol
     stream (length rle2_len incl. trailing EOB; run coding only shrinks zero
-    runs so output stays below input length + digits slack).
+    runs so output stays below input length + digits slack). with_freqs=False
+    skips the frequency histogram (freqs is None) — the lean host-refine
+    graph counts on host instead.
     """
     N = ranks.shape[0]
     OUT = N + 8  # slack for EOB + trailing digits; last slot is a dump lane
@@ -54,30 +59,26 @@ def rle2_encode(
     tail_run = n - 1 - last_valid_nz
     tail_d = num_digits(tail_run)
 
-    # Inverse mapping instead of per-digit scatters: each emitter scatters
-    # its payload to its exclusive output offset; forward-fill cumscans
-    # (gather-free — gathers are slow on this backend) then give every
-    # output slot its covering emitter's (off, digits, run, literal), and
-    # the symbol follows in closed form from (k - off).
+    # Inverse mapping instead of per-digit scatters: each emitter stamps its
+    # INPUT POSITION at its exclusive output offset (one scatter), a cummax
+    # forward-fill gives every output slot its covering emitter, and two
+    # standalone gathers pull the emitter's (off, run, literal) — standalone
+    # gathers run at full rate on this backend (only in-loop gathers are
+    # pathological); this replaces the previous four stamp+fill passes.
     out_idx = jnp.arange(OUT, dtype=jnp.int32)
     tgt = jnp.where(nonzero, off, OUT)
     run1 = run_before + 1
 
-    # forward-fill helper: each emitter stamps (off << width | value) at its
-    # slot (slot index == off, strictly increasing), so a plain cummax
-    # propagates the latest emitter's value to every later slot. off < 2^20,
-    # so each value must fit in <= 11 bits — wider fields are split.
-    def fill(values, width):
-        stamped = jnp.full(OUT, -1, jnp.int32).at[tgt].set(
-            (off << width) | values, mode="drop"
-        )
-        return jax.lax.associative_scan(jnp.maximum, stamped)
-
-    e_off_f = fill(jnp.zeros_like(off), 0)  # carries off itself
-    e_lit_f = fill(ranks + 1, 9) & ((1 << 9) - 1)
-    rhi_f = fill(run1 >> 10, 11) & ((1 << 11) - 1)
-    rlo_f = fill(run1 & 1023, 10) & ((1 << 10) - 1)
-    run1_f = (rhi_f << 10) | rlo_f
+    stamped = jnp.full(OUT, -1, jnp.int32).at[tgt].set(idx, mode="drop")
+    e_pos = jax.lax.associative_scan(jnp.maximum, stamped)
+    ep = jnp.clip(e_pos, 0, N - 1)
+    # packed per-emitter payload: run1 <= 2^21 in the top bits, literal
+    # (rank+1 <= 256) in the low 9 — one gather covers both
+    payload = (run1 << 9) | (ranks + 1)
+    g_pay = payload[ep]
+    e_off_f = jnp.where(e_pos >= 0, off[ep], -1)
+    e_lit_f = g_pay & ((1 << 9) - 1)
+    run1_f = g_pay >> 9
     k_off = out_idx - e_off_f
     # a slot is its emitter's literal (k_off == d) iff the NEXT slot starts
     # a new emitter or the body ends there — saves the d-field fill
@@ -95,9 +96,11 @@ def rle2_encode(
         ((tail_run + 1) >> jnp.clip(tail_j, 0, 31)) & 1,
         eob,
     )
-    in_body = (out_idx < total_body) & (e_off_f >= 0)
+    in_body = (out_idx < total_body) & (e_pos >= 0)
     syms = jnp.where(in_body, body_sym, tail_sym).astype(jnp.uint16)
     rle2_len = total_body + tail_d + 1
+    if not with_freqs:
+        return syms, rle2_len, None
     freqs = (
         jnp.zeros(258, jnp.int32)
         .at[jnp.where(out_idx < rle2_len, syms.astype(jnp.int32), 258)]

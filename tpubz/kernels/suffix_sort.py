@@ -2,7 +2,7 @@
 
 The reference's hot kernel is a comparator rotation sort with a SA-IS
 fallback (src/bwt_algorithms/bwt_sort.rs:27-86, sais_fallback.rs). On TPU we
-run prefix doubling: O(log n) rounds of a lexicographic two-key sort
+run prefix doubling: O(log n) rounds of a lexicographic four-key sort
 (`jax.lax.sort` variadic — XLA's native sort is extremely fast on TPU),
 re-ranking by cumsum of adjacent-difference flags. Ranks compose mod n, so
 *rotation* (wraparound) order falls out naturally and the reference's
@@ -37,8 +37,8 @@ import jax
 import jax.numpy as jnp
 
 PAD_RANK = 1 << 30
-ROUNDS = 19  # cover 3*2^19 = 1.57M >= 900k; rank refinement is monotone and
-             # frozen via `done` once it reaches fixpoint
+ROUNDS = 10  # 4-ary doubling: cover 3*4^10 = 3.1M >= 900k; rank refinement
+             # is monotone and frozen via `done` once it reaches fixpoint
 
 
 def bwt_forward(
@@ -68,12 +68,24 @@ def bwt_forward(
         return jnp.where(idx < nn - kp, a, b)
 
     def one_round(rank, k):
+        """4-ary doubling: sorting by (r[i], r[i+k], r[i+2k], r[i+3k])
+        refines coverage k into 4k, halving the round count vs classic
+        2-ary doubling (10 rounds instead of 19 at 900k). The extra sort
+        operands cost far less than extra rounds: per-round traffic grows
+        ~40% while the round count halves."""
         r2 = jnp.where(valid, shifted(rank, k), PAD_RANK)
-        r1s, r2s, order = jax.lax.sort((rank, r2, idx), num_keys=2)
+        r3 = jnp.where(valid, shifted(rank, 2 * k), PAD_RANK)
+        r4 = jnp.where(valid, shifted(rank, 3 * k), PAD_RANK)
+        a, b, c, d, order = jax.lax.sort((rank, r2, r3, r4, idx), num_keys=4)
         flag = jnp.concatenate(
             (
                 jnp.zeros(1, jnp.int32),
-                ((r1s[1:] != r1s[:-1]) | (r2s[1:] != r2s[:-1])).astype(jnp.int32),
+                (
+                    (a[1:] != a[:-1])
+                    | (b[1:] != b[:-1])
+                    | (c[1:] != c[:-1])
+                    | (d[1:] != d[:-1])
+                ).astype(jnp.int32),
             )
         )
         new_sorted = jnp.cumsum(flag)
@@ -99,7 +111,7 @@ def bwt_forward(
         else:
             new_rank = jnp.where(done, rank, one_round(rank, k))
         done2 = done | jnp.all(new_rank == rank)
-        return new_rank, k * 2, done2
+        return new_rank, k * 4, done2
 
     rank, _, _ = jax.lax.fori_loop(
         0, ROUNDS, body, (rank, jnp.int32(3), n < 0)

@@ -171,7 +171,8 @@ def _device_block_results(enc, arr, out, blocks):
 
     try:
         for (o0, o1, i0, i1) in blocks:
-            fut = enc.transform(out[o0:o1])
+            # host-refine never reads freqs/hist on device: lean graph
+            fut = enc.transform(out[o0:o1], lean=not DEVICE_REFINE)
             if DEVICE_REFINE:
                 inflight.append(emit_pool.submit(emit_devrefine, fut, i0, i1))
             else:
