@@ -236,7 +236,11 @@ def _stage_full_lean(data, n):
     hi_pos = hi_sorted[:HI_CAP]
     hi_count = jnp.sum(is_hi.astype(jnp.int32))
     syms_u8 = jnp.minimum(s32, 255).astype(jnp.uint8)
-    return key, syms, rle2_len, used, syms_u8, hi_pos, hi_count
+    # the stream leaves the device as FOUR quarter arrays so the host can
+    # fetch only ceil(rle2_len / quarter) of them — RLE2 typically shrinks
+    # the stream to ~70% of the block, saving a quarter or two of D2H time
+    q = syms_u8.reshape(4, -1)
+    return key, syms, rle2_len, used, (q[0], q[1], q[2], q[3]), hi_pos, hi_count
 
 
 # whether the fused single-launch graphs are available (compiled/cached) on
@@ -437,15 +441,20 @@ def materialize(out):
     their frequency table from a host bincount over the fetched stream and
     the EOB re-stamped at rle2_len-1."""
     if len(out) == 7:
-        key, syms, rle2_len, used, syms_u8, hi_pos, hi_count = out
-        key, rle2_len, used, syms_u8, hi_pos, hc = jax.device_get(
-            (key, rle2_len, used, syms_u8, hi_pos, hi_count)
+        key, syms, rle2_len, used, quarters, hi_pos, hi_count = out
+        # two-phase fetch: the tiny sidecars first (~0.2ms RTT), then only
+        # the symbol-stream quarters rle2_len actually covers
+        key, rle2_len, used, hi_pos, hc = jax.device_get(
+            (key, rle2_len, used, hi_pos, hi_count)
         )
         rl, hc = int(rle2_len), int(hc)
         if hc > HI_CAP:
             s = np.asarray(syms)
             freqs = np.bincount(s[:rl], minlength=258).astype(np.int64)
         else:
+            ql = quarters[0].shape[0]
+            need = min(4, (rl + ql - 1) // ql)
+            syms_u8 = np.concatenate(jax.device_get(quarters[:need]))
             # count the u8 form (8x faster than u16 bincount on this host),
             # then fix up the clamped hi symbols and the EOB slot
             eob = int(used.sum()) + 1
