@@ -120,6 +120,7 @@ def test_lean_fused_graph_matches_full(rng, monkeypatch):
 
     monkeypatch.setattr(E, "_lean_ok", True)
     monkeypatch.setattr(E, "_full_ok", True)
+    monkeypatch.setattr(E, "_split_ok", False)
     enc = E.DeviceBlockEncoder(1)
     cases = [
         rng.integers(0, 256, 80_000, dtype=np.uint8),
@@ -146,6 +147,51 @@ def test_lean_stream_byte_identical(rng, monkeypatch):
     from tpubz.stream import api
 
     monkeypatch.setattr(E, "_lean_ok", True)
+    monkeypatch.setattr(api, "DEVICE_REFINE", False)
+    monkeypatch.setattr(api, "_BATCH_ENV", "0")
+    d = (
+        bytes(np.tile(np.arange(256, dtype=np.uint8), 300))
+        + b"lorem ipsum dolor sit amet\n" * 8_000
+        + bytes(rng.integers(0, 256, 120_000, dtype=np.uint8))
+    )
+    c_dev = api.compress(d, 1)
+    assert c_dev == host_compress(d, 1)
+    assert decompress(c_dev) == d
+
+
+@pytest.mark.slow
+def test_split_lean_route_matches_full(rng, monkeypatch):
+    """The split lean chain (bwt / mtf / rle2c as separate launches — the
+    production route, since launches pipeline on the relay) must materialize
+    identically to the full fused graph."""
+    from tpubz.block import encode as E
+
+    monkeypatch.setattr(E, "_split_ok", True)
+    monkeypatch.setattr(E, "_full_ok", True)
+    enc = E.DeviceBlockEncoder(1)
+    cases = [
+        rng.integers(0, 256, 80_000, dtype=np.uint8),
+        np.tile(np.arange(256, dtype=np.uint8), 200),  # hits symbol 256
+        np.frombuffer(b"abracadabra " * 5_000, np.uint8).copy(),
+        np.zeros(1, np.uint8),
+    ]
+    for arr in cases:
+        lean = E.materialize(enc.transform(arr, lean=True))
+        full = E.materialize(enc.transform(arr, lean=False))
+        assert lean[0] == full[0] and lean[2] == full[2]
+        np.testing.assert_array_equal(lean[1][: lean[2]], full[1][: full[2]])
+        np.testing.assert_array_equal(lean[3], np.asarray(full[3]))
+        np.testing.assert_array_equal(np.asarray(lean[4]), np.asarray(full[4]))
+
+
+@pytest.mark.slow
+def test_split_lean_stream_byte_identical(rng, monkeypatch):
+    """Production host-refine stream through the split lean chain: bytes
+    must match the host reference exactly."""
+    from tpubz.block import encode as E
+    from tpubz.stream import api
+
+    monkeypatch.setattr(E, "_split_ok", True)
     monkeypatch.setattr(api, "DEVICE_REFINE", False)
     monkeypatch.setattr(api, "_BATCH_ENV", "0")
     d = (

@@ -215,6 +215,27 @@ def _stage_full(data, n):
 
 
 @jax.jit
+def _stage_rle2c(ranks, n, used):
+    """Lean RLE2 + compact transfer form as its own launch. With async
+    dispatch the relay pipelines launches across in-flight blocks (measured:
+    the split bwt/mtf/rle2c chain runs 61 ms/block vs 79 for the fused
+    single-launch graph — XLA schedules the smaller graphs better), so the
+    production lean route is three launches per block, not one."""
+    eob = jnp.sum(used).astype(jnp.int32) + 1
+    syms, rle2_len, _ = rle2_encode(ranks, n, eob, with_freqs=False)
+    s32 = syms.astype(jnp.int32)
+    idx = jnp.arange(s32.shape[0], dtype=jnp.int32)
+    is_hi = (s32 >= 256) & (idx < rle2_len - 1)
+    hi_key = jnp.where(is_hi, idx, jnp.int32(1 << 30))
+    (hi_sorted,) = jax.lax.sort((hi_key,), num_keys=1)
+    hi_pos = hi_sorted[:HI_CAP]
+    hi_count = jnp.sum(is_hi.astype(jnp.int32))
+    syms_u8 = jnp.minimum(s32, 255).astype(jnp.uint8)
+    q = syms_u8.reshape(4, -1)
+    return rle2_len, (q[0], q[1], q[2], q[3]), hi_pos, hi_count, syms
+
+
+@jax.jit
 def _stage_full_lean(data, n):
     """Host-refine production transform: BWT + MTF + RLE2 + compact in ONE
     launch, with everything the host-refine path never reads on device cut
@@ -273,6 +294,8 @@ def _src_hash() -> str:
         _stage_full_b,
         _stage_post,
         _stage_compact,
+        _stage_rle2c,
+        _stage_mtf,
     ):
         h.update(inspect.getsource(fn.__wrapped__).encode())
     h.update(f"{MTF_CHUNK},{HI_CAP}".encode())
@@ -318,6 +341,28 @@ def _probe_full_lean() -> bool:
             except OSError:
                 _lean_ok = False
     return _lean_ok
+
+
+_split_ok: bool | None = None
+
+
+def _probe_split_lean() -> bool:
+    """True when the split lean stages (bwt / mtf / rle2c) are AOT-warmed
+    for the current sources — the preferred production route (launches
+    pipeline across in-flight blocks; the split chain executes ~30% faster
+    than the fused single launch). TPUBZ_SPLIT=0/1 overrides."""
+    global _split_ok
+    if _split_ok is None:
+        mode = os.environ.get("TPUBZ_SPLIT", "auto")
+        if mode in ("0", "1"):
+            _split_ok = mode == "1"
+        else:
+            try:
+                with open(_stamp_path() + "_split") as f:
+                    _split_ok = f.read().strip() == _src_hash()
+            except OSError:
+                _split_ok = False
+    return _split_ok
 
 
 @jax.jit
@@ -380,6 +425,17 @@ def warm_aot_full(level: int = 9, lean_only: bool = False):
     N = DeviceBlockEncoder(level).N
     d = jax.ShapeDtypeStruct((N,), jnp.uint8)
     n = jax.ShapeDtypeStruct((), jnp.int32)
+    # the split lean chain (production default: launches pipeline, smaller
+    # graphs schedule better than the fused one)
+    _stage_bwt.lower(d, n).compile()
+    _stage_mtf.lower(d, n).compile()
+    exe = _stage_rle2c.lower(
+        jax.ShapeDtypeStruct((N,), jnp.int32),
+        n,
+        jax.ShapeDtypeStruct((256,), jnp.bool_),
+    ).compile()
+    with open(_stamp_path() + "_split", "w") as f:
+        f.write(_src_hash())
     exe = _stage_full_lean.lower(d, n).compile()
     with open(_stamp_path() + "_lean", "w") as f:
         f.write(_src_hash())
@@ -401,6 +457,13 @@ def _transform(data, n, lean: bool = False):
     minutes to compile vs ~1 minute for the stages) and the persistent
     compilation cache survives single-stage edits.
     """
+    if lean and _probe_split_lean():
+        key, last = _stage_bwt(data, n)
+        ranks, used = _stage_mtf(last, n)
+        rle2_len, quarters, hi_pos, hi_count, syms = _stage_rle2c(
+            ranks, n, used
+        )
+        return key, syms, rle2_len, used, quarters, hi_pos, hi_count
     if lean and _probe_full_lean():
         return _stage_full_lean(data, n)
     if _probe_full():
