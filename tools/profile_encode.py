@@ -17,7 +17,7 @@ from bench import build_corpus
 from tpubz.format.constants import block_budget
 from tpubz.format.crc import block_crc
 from tpubz.hostref.rle1 import rle1_blocks
-from tpubz.block.encode import DeviceBlockEncoder, _stage_full_lean as _stage_full, materialize, _probe_full_lean as _probe_full
+from tpubz.block.encode import DeviceBlockEncoder, _transform, materialize, _probe_split_lean as _probe_full
 
 assert _probe_full(), "fused graph not warm"
 
@@ -36,7 +36,7 @@ def run_block(blk):
     d = jax.device_put(pad)
     d.block_until_ready()
     t1 = time.time()
-    o = _stage_full(d, jnp.int32(blk.size))
+    o = _transform(d, jnp.int32(blk.size), lean=True)
     jax.block_until_ready(o)
     t2 = time.time()
     m = materialize(o)
