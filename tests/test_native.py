@@ -6,6 +6,22 @@ from tpubz.native import refine_stream_native
 import tpubz.hostref.huffman as H
 
 
+def test_native_lib_builds_when_toolchain_present():
+    """A C++ source error must FAIL the suite, not silently route production
+    onto the (bit-identical but much slower) numpy fallbacks: when g++
+    exists, the native lib must build and load."""
+    import shutil
+
+    from tpubz.native import get_lib
+
+    if shutil.which("g++") is None:
+        pytest.skip("no g++ on this host")
+    assert get_lib() is not None, (
+        "native lib failed to build/load with g++ present — check compile "
+        "errors in tpubz/native/*.cpp"
+    )
+
+
 @pytest.fixture(scope="module")
 def native_available():
     if refine_stream_native(np.array([0, 1, 2], np.uint16), 3, 8) is None:

@@ -416,12 +416,23 @@ def huffman_emit(
 ) -> None:
     """Emission half: symbol map, counts, selectors, length deltas, payload."""
     codes = huffman_emit_headers(acc, used, selectors, lengths, table_count)
-    # payload (vectorized): per-symbol (code, len) by its chunk's selector
+    log.debug("payload (%d symbols) written at bit %d", rle2.size, acc.bit_len)
+    from ..native import emit_payload_native
+
+    native = emit_payload_native(
+        np.asarray(rle2), np.asarray(selectors),
+        codes, np.asarray(lengths)[:, : codes.shape[1]],
+    )
+    if native is not None:
+        words, total_bits = native
+        acc.put_words(words, total_bits)
+        return
+    # payload (vectorized numpy fallback): per-symbol (code, len) by the
+    # chunk's selector
     rle2 = np.asarray(rle2, dtype=np.int64)
     sel_per_sym = np.repeat(selectors, GROUP_SIZE)[: rle2.size]
     sym_codes = codes[sel_per_sym, rle2].astype(np.uint32)
     sym_bits = lengths[sel_per_sym, rle2].astype(np.int64)
-    log.debug("payload (%d symbols) written at bit %d", rle2.size, acc.bit_len)
     acc.extend(sym_codes, sym_bits)
 
 

@@ -76,6 +76,12 @@ def get_lib():
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
             ]
+            lib.tpubz_emit_payload.restype = ctypes.c_int64
+            lib.tpubz_emit_payload.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_int64,
+            ]
             lib.tpubz_rle1_split.restype = ctypes.c_int64
             lib.tpubz_rle1_split.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
@@ -145,6 +151,32 @@ def pack_bits_native(vals: np.ndarray, bits: np.ndarray):
     )
     assert nbytes >= 0, "pack capacity underestimated"
     return out[:nbytes].tobytes()
+
+
+def emit_payload_native(syms: np.ndarray, selectors: np.ndarray,
+                        codes: np.ndarray, lens: np.ndarray):
+    """One-pass Huffman payload pack: per-symbol (code, len) by its chunk's
+    selector, packed MSB-first into uint32 words (final word left-aligned —
+    BitAccum.put_words layout). Returns (words uint32[], total_bits) or
+    None if the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    s = np.ascontiguousarray(syms, dtype=np.uint16)
+    sel = np.ascontiguousarray(selectors, dtype=np.int32)
+    cpad = np.zeros((6, 258), np.uint32)
+    lpad = np.zeros((6, 258), np.int32)
+    tc, alpha = codes.shape
+    cpad[:tc, :alpha] = codes
+    lpad[:tc, :alpha] = lens[:tc, :alpha]
+    cap = (s.size * 20 + 31) // 32 + 2  # encoder never emits > 17 bits/sym
+    words = np.empty(cap, dtype=np.uint32)
+    total = lib.tpubz_emit_payload(
+        s.ctypes.data, s.size, sel.ctypes.data,
+        cpad.ctypes.data, lpad.ctypes.data, words.ctypes.data, cap,
+    )
+    assert total >= 0, "payload word capacity underestimated"
+    return words, int(total)
 
 
 def rle1_split_native(data: np.ndarray, budget: int):
