@@ -177,24 +177,35 @@ extern "C" int64_t tpubz_refine_stream(const uint16_t* syms, int64_t rle2_len,
   int64_t best_bits = -1;
 
   std::vector<int64_t> rfreq((size_t)kMaxGroups * kMaxAlpha);
+  // per-symbol code lengths for all 6 tables packed into one u64 (10-bit
+  // lanes): a chunk's per-table cost is <= 50*20 = 1000 < 1024, so summing
+  // 50 packed words never carries across lanes — one load+add per symbol
+  // instead of table_count scattered adds. Costs unpack to the identical
+  // integers the scalar loop produced (argmin tie-breaking unchanged).
+  std::vector<uint64_t> packed(kMaxAlpha);
   int stale = 0;
   for (int it = 0; it < iters; it++) {
     std::fill(rfreq.begin(), rfreq.end(), 0);
+    for (int s = 0; s < alpha; s++) {
+      uint64_t p = 0;
+      for (int t = 0; t < table_count; t++)
+        p |= (uint64_t)lens[t][s] << (10 * t);
+      packed[s] = p;
+    }
     for (int64_t c = 0; c < nsel; c++) {
       const int64_t gs = c * kGroupSize;
       const int64_t ge = std::min<int64_t>(gs + kGroupSize, rle2_len);
-      int64_t cost[kMaxGroups] = {0, 0, 0, 0, 0, 0};
-      for (int64_t i = gs; i < ge; i++) {
-        const int s = syms[i];
-        for (int t = 0; t < table_count; t++) cost[t] += lens[t][s];
-      }
+      uint64_t acc = 0;
+      for (int64_t i = gs; i < ge; i++) acc += packed[syms[i]];
       int64_t bc = INT64_MAX;
       int bt = 0;
-      for (int t = 0; t < table_count; t++)
-        if (cost[t] < bc) {
-          bc = cost[t];
+      for (int t = 0; t < table_count; t++) {
+        const int64_t cost = (acc >> (10 * t)) & 1023;
+        if (cost < bc) {
+          bc = cost;
           bt = t;
         }
+      }
       sel[c] = bt;
       int64_t* rf = &rfreq[(size_t)bt * kMaxAlpha];
       for (int64_t i = gs; i < ge; i++) rf[syms[i]]++;
