@@ -72,7 +72,11 @@ def bwt_forward(
         refines coverage k into 4k, halving the round count vs classic
         2-ary doubling (10 rounds instead of 19 at 900k). The extra sort
         operands cost far less than extra rounds: per-round traffic grows
-        ~40% while the round count halves."""
+        ~40% while the round count halves. Also returns the round's sort
+        order: the last executed round's order IS the final suffix array
+        (the sort is stable, so permanent ties — identical rotations —
+        break by index exactly as a final (rank, idx) sort would), which
+        saves that whole extra 900k sort."""
         r2 = jnp.where(valid, shifted(rank, k), PAD_RANK)
         r3 = jnp.where(valid, shifted(rank, 2 * k), PAD_RANK)
         r4 = jnp.where(valid, shifted(rank, 3 * k), PAD_RANK)
@@ -91,7 +95,7 @@ def bwt_forward(
         new_sorted = jnp.cumsum(flag)
         # back to position space via sort-by-position (scatter-free)
         _, new_rank = jax.lax.sort((order, new_sorted), num_keys=1)
-        return jnp.where(valid, new_rank, PAD_RANK)
+        return jnp.where(valid, new_rank, PAD_RANK), order
 
     # initial rank: THREE bytes packed into one int32 (cyclic), so the
     # first sort round already refines cover-3 order into cover-6 — the
@@ -102,24 +106,30 @@ def bwt_forward(
     rank = jnp.where(valid, rank0, PAD_RANK)
 
     def body(i, carry):
-        rank, k, done = carry
+        rank, k, done, sa = carry
         if skip_converged:
             # converged rounds skip the sorts entirely (real HLO branch)
-            new_rank = jax.lax.cond(
-                done, lambda r: r, lambda r: one_round(r, k), rank
+            new_rank, new_sa = jax.lax.cond(
+                done,
+                lambda r, s: (r, s),
+                lambda r, s: one_round(r, k),
+                rank,
+                sa,
             )
         else:
-            new_rank = jnp.where(done, rank, one_round(rank, k))
+            new_rank, order = one_round(rank, k)
+            new_rank = jnp.where(done, rank, new_rank)
+            new_sa = jnp.where(done, sa, order)
         done2 = done | jnp.all(new_rank == rank)
-        return new_rank, k * 4, done2
+        return new_rank, k * 4, done2, new_sa
 
-    rank, _, _ = jax.lax.fori_loop(
-        0, ROUNDS, body, (rank, jnp.int32(3), n < 0)
+    # round 1 always executes (done starts False), so sa is always the
+    # order of the last round that refined anything — the final SA.
+    # (idx + (rank & 0) keeps the initial carry's mesh-axis variance equal
+    # to the loop output's under shard_map — a bare iota is unvarying.)
+    rank, _, _, sa = jax.lax.fori_loop(
+        0, ROUNDS, body, (rank, jnp.int32(3), n < 0, idx + (rank & 0))
     )
-
-    # final order; identical rotations (periodic data) still tie — break by
-    # index, which matches any stable rotation sort's BWT output
-    _, sa = jax.lax.sort((rank, idx), num_keys=1)
     key = jnp.argmax((sa == 0) & valid).astype(jnp.int32)
     prev = jnp.where(sa == 0, n - 1, sa - 1)
     last = jnp.where(valid, data[prev], 0).astype(jnp.uint8)
