@@ -641,7 +641,7 @@ class DeviceBlockEncoder:
                 stale += 1
             # adaptive stop: past the C-faithful 4 passes, quit once two
             # consecutive passes stop improving the exact size
-            if it >= 3 and stale >= 2:
+            if it >= 3 and stale >= 1:
                 break
         _, sel_b, lens_b, rfreq_b = best
         payload_bits = int((rfreq_b[:tc, :alpha] * lens_b[:tc, :alpha]).sum())
@@ -863,7 +863,7 @@ class DeviceBlockEncoder:
                     stale[b] = 0
                 else:
                     stale[b] += 1
-                if it >= 3 and stale[b] >= 2:
+                if it >= 3 and stale[b] >= 1:
                     stopped[b] = True
         # batched pack with each block's best snapshot
         NSEL = nsel_cap(syms_d.shape[1])

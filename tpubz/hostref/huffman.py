@@ -302,7 +302,7 @@ def refine_from_hist(
                     stale += 1
                 # adaptive stop: past the C-faithful 4 passes, quit once two
                 # consecutive passes stop improving the exact size
-                if it >= 3 and stale >= 2:
+                if it >= 3 and stale >= 1:
                     break
         if not track_best:
             best = (

@@ -233,7 +233,7 @@ extern "C" int64_t tpubz_refine_stream(const uint16_t* syms, int64_t rle2_len,
     }
     // adaptive stop: past the C-faithful 4 passes, quit once two
     // consecutive passes stop improving the exact size
-    if (it >= 3 && stale >= 2) break;
+    if (it >= 3 && stale >= 1) break;
   }
   for (int64_t c = 0; c < nsel; c++) out_selectors[c] = best_sel[c];
   for (int t = 0; t < kMaxGroups; t++)
