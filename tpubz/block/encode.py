@@ -214,13 +214,17 @@ def _stage_full(data, n):
     return (key, *post)
 
 
-@jax.jit
-def _stage_rle2c(ranks, n, used):
-    """Lean RLE2 + compact transfer form as its own launch. With async
-    dispatch the relay pipelines launches across in-flight blocks (measured:
-    the split bwt/mtf/rle2c chain runs 61 ms/block vs 79 for the fused
-    single-launch graph — XLA schedules the smaller graphs better), so the
-    production lean route is three launches per block, not one."""
+def _rle2_compact(ranks, n, used):
+    """Lean RLE2 + compact transfer form — the shared body of _stage_rle2c
+    (split chain) and _stage_full_lean (fused fallback), so the transfer
+    contract materialize() depends on (EOB-free sidecar of body symbols
+    == 256, HI_CAP, quarter layout) is encoded once. No device freqs/hist:
+    the host bincounts the fetched stream and the native refine engine
+    builds its own chunk histograms; the EOB symbol is re-stamped on host
+    (its position rle2_len-1 and value used_count+1 are both known there).
+    The stream leaves the device as FOUR quarter arrays so the host can
+    fetch only ceil(rle2_len / quarter) of them — RLE2 typically shrinks
+    the stream to ~70% of the block, saving a quarter or two of D2H time."""
     eob = jnp.sum(used).astype(jnp.int32) + 1
     syms, rle2_len, _ = rle2_encode(ranks, n, eob, with_freqs=False)
     s32 = syms.astype(jnp.int32)
@@ -236,32 +240,24 @@ def _stage_rle2c(ranks, n, used):
 
 
 @jax.jit
+def _stage_rle2c(ranks, n, used):
+    """Lean RLE2 + compact transfer form as its own launch. With async
+    dispatch the relay pipelines launches across in-flight blocks (measured:
+    the split bwt/mtf/rle2c chain runs 61 ms/block vs 79 for the fused
+    single-launch graph — XLA schedules the smaller graphs better), so the
+    production lean route is three launches per block, not one."""
+    return _rle2_compact(ranks, n, used)
+
+
+@jax.jit
 def _stage_full_lean(data, n):
     """Host-refine production transform: BWT + MTF + RLE2 + compact in ONE
-    launch, with everything the host-refine path never reads on device cut
-    out of the graph — no freqs (host np.bincount on the fetched stream),
-    no chunk hist (the native refine engine builds its own), and a sort-based
-    hi-symbol sidecar instead of the cumsum+scatter compaction. The EOB
-    symbol is re-stamped on host (its position rle2_len-1 and value
-    used_count+1 are both known there), so the sidecar only carries body
-    symbols == 256 (rank-255 literals; rare)."""
+    launch (the fallback route when only this graph is warm; see
+    _rle2_compact for the transfer contract)."""
     key, last = bwt_forward(data, n)
     ranks, used = mtf_ranks(last, n, chunk=MTF_CHUNK)
-    eob = jnp.sum(used).astype(jnp.int32) + 1
-    syms, rle2_len, _ = rle2_encode(ranks, n, eob, with_freqs=False)
-    s32 = syms.astype(jnp.int32)
-    idx = jnp.arange(s32.shape[0], dtype=jnp.int32)
-    is_hi = (s32 >= 256) & (idx < rle2_len - 1)
-    hi_key = jnp.where(is_hi, idx, jnp.int32(1 << 30))
-    (hi_sorted,) = jax.lax.sort((hi_key,), num_keys=1)
-    hi_pos = hi_sorted[:HI_CAP]
-    hi_count = jnp.sum(is_hi.astype(jnp.int32))
-    syms_u8 = jnp.minimum(s32, 255).astype(jnp.uint8)
-    # the stream leaves the device as FOUR quarter arrays so the host can
-    # fetch only ceil(rle2_len / quarter) of them — RLE2 typically shrinks
-    # the stream to ~70% of the block, saving a quarter or two of D2H time
-    q = syms_u8.reshape(4, -1)
-    return key, syms, rle2_len, used, (q[0], q[1], q[2], q[3]), hi_pos, hi_count
+    rle2_len, quarters, hi_pos, hi_count, syms = _rle2_compact(ranks, n, used)
+    return key, syms, rle2_len, used, quarters, hi_pos, hi_count
 
 
 # whether the fused single-launch graphs are available (compiled/cached) on
@@ -296,8 +292,9 @@ def _src_hash() -> str:
         _stage_compact,
         _stage_rle2c,
         _stage_mtf,
+        _rle2_compact,
     ):
-        h.update(inspect.getsource(fn.__wrapped__).encode())
+        h.update(inspect.getsource(getattr(fn, "__wrapped__", fn)).encode())
     h.update(f"{MTF_CHUNK},{HI_CAP}".encode())
     return h.hexdigest()
 
@@ -387,19 +384,28 @@ def _stage_full_b(data, n):
     return key, syms, rle2_len, freqs, used, syms_u8, hi_packed, hi_count, hist
 
 
+_full_b_batch: int | None = None
+
+
 def _probe_full_b() -> int:
     """Batch size of the AOT-warmed batched fused graph (0 = not warm for
     the current sources). TPUBZ_FUSED_BATCH=0 disables; =N forces batch N
-    (test/backends with fast compiles)."""
+    (test/backends with fast compiles). Memoized like the other probes —
+    _batch_size() calls this per compress() and _src_hash() is not free."""
+    global _full_b_batch
+    if _full_b_batch is not None:
+        return _full_b_batch
     mode = os.environ.get("TPUBZ_FUSED_BATCH", "auto")
     if mode != "auto":
-        return int(mode)
+        _full_b_batch = int(mode)
+        return _full_b_batch
     try:
         with open(_stamp_path() + "_b") as f:
             h, b = f.read().split()
-            return int(b) if h == _src_hash() else 0
+            _full_b_batch = int(b) if h == _src_hash() else 0
     except (OSError, ValueError):
-        return 0
+        _full_b_batch = 0
+    return _full_b_batch
 
 
 def warm_aot_full_b(level: int = 9, batch: int = 8):
@@ -639,8 +645,8 @@ class DeviceBlockEncoder:
                 stale = 0
             else:
                 stale += 1
-            # adaptive stop: past the C-faithful 4 passes, quit once two
-            # consecutive passes stop improving the exact size
+            # adaptive stop: past the C-faithful 4 passes, quit after ONE
+            # flat extra pass — in sync with refine.cpp and hostref
             if it >= 3 and stale >= 1:
                 break
         _, sel_b, lens_b, rfreq_b = best
@@ -706,7 +712,8 @@ class DeviceBlockEncoder:
         ns = np.zeros(B, np.int32)
         for i, blk in enumerate(rle1_blocks_list):
             pad[i, : blk.size] = blk
-            ns[i] = max(blk.size, 1)
+            ns[i] = blk.size  # 0 stays 0: same degenerate-block semantics
+            # as the per-block transform (kernels guard n internally)
         data = jnp.asarray(pad)
         n = jnp.asarray(ns)
         if _probe_full_b() == B:

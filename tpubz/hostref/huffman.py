@@ -230,33 +230,6 @@ def _exact_bits(chunk_hist, selectors, lengths, table_count, alpha, nsel):
     return payload + sel_bits + int(dl) * 2 + table_count * (alpha + 5)
 
 
-def init_tables(freqs: np.ndarray, table_count: int, alpha: int) -> np.ndarray:
-    """Seed 0/15 weight tables by frequency-portion partitioning
-    (huffman.rs:472-532, including the table-2/4 'just shy' special case)."""
-    tables = np.full((6, 258), 15, dtype=np.int64)
-    total = int(freqs[:alpha].sum())
-    limit = total // table_count
-    ti = table_count - 1
-    portion = 0
-    for i in range(alpha):
-        f = int(freqs[i])
-        if portion + f > limit and ti in (2, 4):
-            ti = max(ti - 1, 0)
-            tables[ti][i] = 0
-            portion = f
-            if portion > limit:
-                tables[ti][i] = 0
-                ti = max(ti - 1, 0)
-                portion = 0
-        else:
-            portion += f
-            tables[ti][i] = 0
-            if portion > limit:
-                ti = max(ti - 1, 0)
-                portion = 0
-    return tables
-
-
 def assign_selectors_and_lengths(
     rle2: np.ndarray, freqs: np.ndarray, alpha: int
 ) -> tuple[np.ndarray, np.ndarray, int]:
@@ -300,8 +273,9 @@ def refine_from_hist(
                     stale = 0
                 else:
                     stale += 1
-                # adaptive stop: past the C-faithful 4 passes, quit once two
-                # consecutive passes stop improving the exact size
+                # adaptive stop: past the C-faithful 4 passes, quit after
+                # ONE flat extra pass — in sync with refine.cpp and the
+                # devrefine engine (byte-identity cross-checked in tests)
                 if it >= 3 and stale >= 1:
                     break
         if not track_best:

@@ -17,7 +17,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-MAX_DIGITS = 21  # runs are < 2^21 (block <= 900k)
+
 
 
 def num_digits(run_len):

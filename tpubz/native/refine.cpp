@@ -231,8 +231,9 @@ extern "C" int64_t tpubz_refine_stream(const uint16_t* syms, int64_t rle2_len,
     } else {
       stale++;
     }
-    // adaptive stop: past the C-faithful 4 passes, quit once two
-    // consecutive passes stop improving the exact size
+    // adaptive stop: past the C-faithful 4 passes, quit after ONE flat
+    // (non-improving) extra pass — must stay in sync with the Python and
+    // device-refine engines (byte-identity cross-checked in tests)
     if (it >= 3 && stale >= 1) break;
   }
   for (int64_t c = 0; c < nsel; c++) out_selectors[c] = best_sel[c];
