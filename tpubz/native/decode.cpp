@@ -392,33 +392,91 @@ extern "C" int64_t tpubz_decode_block_prof(
   uint8_t prev_byte = 0;
   bool expect_count = false;
   bool rle_err = false;
-  auto rle_feed = [&](const uint8_t* buf, int64_t len) {
-    for (int64_t i = 0; i < len; i++) {
-      uint8_t b = buf[i];
-      if (expect_count) {
-        // count byte: emit b more copies of prev_byte
-        if (out_n + b > out_cap) {
-          rle_err = true;
-          return;
-        }
-        std::memset(&out[out_n], prev_byte, b);
-        out_n += b;
-        expect_count = false;
-        run = 0;
-        continue;
-      }
-      if (out_n >= out_cap) {
+  // one byte through the RLE1 state machine (the always-correct slow path)
+  auto rle_step = [&](uint8_t b) {
+    if (expect_count) {
+      if (out_n + b > out_cap) {
         rle_err = true;
         return;
       }
-      out[out_n++] = b;
-      if (run > 0 && b == prev_byte)
-        run++;
-      else {
-        run = 1;
-        prev_byte = b;
+      std::memset(&out[out_n], prev_byte, b);
+      out_n += b;
+      expect_count = false;
+      run = 0;
+      return;
+    }
+    if (out_n >= out_cap) {
+      rle_err = true;
+      return;
+    }
+    out[out_n++] = b;
+    if (run > 0 && b == prev_byte)
+      run++;
+    else {
+      run = 1;
+      prev_byte = b;
+    }
+    if (run == 4) expect_count = true;
+  };
+  auto rle_feed = [&](const uint8_t* buf, int64_t len) {
+    int64_t i = 0;
+    while (i < len) {
+      // drain carried state byte-wise: a pending count byte, or an open
+      // run that may complete across the buffer boundary. After this,
+      // either the buffer is done or run == 1 with the run anchored at
+      // buf[i-1] — every later 4-run lies fully in this buffer.
+      while (i < len && (expect_count || (run > 0 && buf[i] == prev_byte))) {
+        rle_step(buf[i++]);
+        if (rle_err) return;
       }
-      if (run == 4) expect_count = true;
+      if (i >= len) return;
+      if (run > 0) {  // differing byte: fresh anchor
+        rle_step(buf[i++]);
+        if (rle_err) return;
+      } else if (run == 0) {  // fresh after a count byte
+        rle_step(buf[i++]);
+        if (rle_err) return;
+        continue;  // re-check: the new byte may extend nothing (run==1 now)
+      }
+      // bulk gap scan: run == 1 anchored at buf[i-1]. A 4-run ending at q
+      // (spanning q-3..q) forces buf[q] == buf[q-2], and one ending at q+1
+      // forces buf[q+1] == buf[q-1] which implies buf[q] == buf[q-2] too,
+      // so stepping q by 2 while buf[q] != buf[q-2] skips both safely
+      // (the reference encoder's 2-apart trick, rle1.rs:164-185).
+      int64_t q = i + 2;  // earliest in-buffer 4-run end given the anchor
+      while (q < len && buf[q] != buf[q - 2]) q += 2;
+      // candidate zone at q: find the actual first 4-run end in [q-1, q+1]
+      int64_t stop = len;  // exclusive end of the memcpy-safe gap
+      int64_t run_end = -1;
+      for (int64_t e = q - 1; e <= q + 1 && e < len; e++) {
+        if (e >= i + 2 && buf[e] == buf[e - 1] && buf[e] == buf[e - 2] &&
+            buf[e] == buf[e - 3]) {
+          run_end = e;
+          break;
+        }
+      }
+      if (run_end >= 0)
+        stop = run_end + 1;  // copy through the run's 4th byte
+      else if (q + 2 <= len)
+        stop = q;  // no run here: safe through q-1 (scan resumes at q)
+      // copy the gap [i, stop) wholesale; no 4-run completes inside it
+      // except possibly at stop-1 (handled by the state fix-up below)
+      if (out_n + (stop - i) > out_cap) {
+        rle_err = true;
+        return;
+      }
+      std::memcpy(&out[out_n], &buf[i], (size_t)(stop - i));
+      out_n += stop - i;
+      // reconstruct the state machine's (run, prev, expect_count) at stop:
+      // count the trailing equal bytes (anchor at i-1 counts for runs
+      // touching the gap head)
+      prev_byte = buf[stop - 1];
+      int r = 1;
+      while (r < 4 && stop - 1 - r >= i - 1 && buf[stop - 1 - r] == prev_byte)
+        r++;
+      run = r;
+      expect_count = (run_end >= 0);  // == (run hit 4 at stop-1)
+      i = stop;
     }
   };
 
