@@ -264,23 +264,33 @@ extern "C" int64_t tpubz_decode_block_prof(
   std::unique_ptr<uint16_t[]> symbuf(new uint16_t[(size_t)max_size + 2]);
   int64_t scount = 0;
   bool done = false;
+  // standing bit window: one load + bswap feeds 2-4 symbols (codes <= 20
+  // bits, refill keeps >= 21 valid top bits) instead of reloading per
+  // symbol; bits past the block's end are the next block's — consuming
+  // them is prevented by the per-symbol lpos+l bound exactly as before
+  int64_t lpos = br.pos;
+  uint64_t window = 0;
+  int have = 0;
   for (int64_t group = 0; !done; group++) {
     if (group >= (int64_t)selectors.size()) return -10;
     const DecodeTable& T = tables[selectors[group]];
     const int maxl = T.max_len;
     const int16_t* lut = T.lut;
     for (int g = 0; g < kGroupSize; g++) {
-      int sym, l;
-      uint64_t window;
-      int64_t idx = br.pos >> 3;
-      if (idx + 8 <= nbytes_total) {
-        uint64_t acc;
-        std::memcpy(&acc, data + idx, 8);
-        window = __builtin_bswap64(acc) << (br.pos & 7);
-      } else {
-        if (br.pos + T.min_len > nbits) return -1;
-        window = (uint64_t)peek(br.pos, 56) << 8;  // guarded stream tail
+      if (have < 21) {
+        int64_t idx = lpos >> 3;
+        if (idx + 8 <= nbytes_total) {
+          uint64_t acc;
+          std::memcpy(&acc, data + idx, 8);
+          window = __builtin_bswap64(acc) << (lpos & 7);
+          have = 64 - (int)(lpos & 7);
+        } else {
+          if (lpos + T.min_len > nbits) return -1;
+          window = (uint64_t)peek(lpos, 56) << 8;  // guarded stream tail
+          have = 56;
+        }
       }
+      int sym, l;
       int16_t hit = lut[window >> (64 - kLutBits)];
       if (hit >= 0) {
         sym = hit >> 5;
@@ -299,8 +309,10 @@ extern "C" int64_t tpubz_decode_block_prof(
         }
         sym = T.syms[T.off[l] + code - T.base[l]];
       }
-      if (br.pos + l > nbits) return -1;
-      br.pos += l;
+      if (lpos + l > nbits) return -1;
+      lpos += l;
+      window <<= l;
+      have -= l;
       if (sym == eob) {
         done = true;
         break;
@@ -309,6 +321,7 @@ extern "C" int64_t tpubz_decode_block_prof(
       symbuf[scount++] = (uint16_t)sym;
     }
   }
+  br.pos = lpos;
   // pass 2 — RLE2 + MTF undo over the symbol buffer. Ranks < 8 use a
   // branchless u64 rotate-insert on the front of the MTF list instead of a
   // memmove call (most symbols of compressible data live there).
