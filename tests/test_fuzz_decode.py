@@ -97,3 +97,42 @@ def test_fuzz_streaming_bounded(rng, stream_and_plain):
         except (ValueError, EOFError):
             continue
         assert out.getvalue() == d
+
+
+@pytest.mark.slow
+def test_differential_fuzz_vs_system(rng, sys_bzip2, sys_bunzip2):
+    """Differential fuzz: random structured inputs, both directions against
+    the system binaries, plus the size guarantee — across entropy regimes,
+    sizes spanning 0..3 blocks, and levels 1/9."""
+    def gen(case):
+        kind = case % 5
+        size = int(rng.integers(0, 320_000))
+        if kind == 0:  # uniform bytes
+            return bytes(rng.integers(0, 256, size, dtype=np.uint8))
+        if kind == 1:  # low entropy
+            return bytes(rng.integers(0, 4, size, dtype=np.uint8))
+        if kind == 2:  # text-ish with repeats
+            words = [b"the ", b"quick ", b"brown ", b"fox \n", b"lorem "]
+            out = bytearray()
+            while len(out) < size:
+                out += words[int(rng.integers(0, len(words)))] * int(
+                    rng.integers(1, 9)
+                )
+            return bytes(out[:size])
+        if kind == 3:  # run-heavy
+            out = bytearray()
+            while len(out) < size:
+                out += bytes([int(rng.integers(0, 256))]) * int(
+                    rng.integers(1, 600)
+                )
+            return bytes(out[:size])
+        return bytes(np.tile(np.arange(256, dtype=np.uint8), size // 256 + 1)[:size])
+
+    for case in range(20):
+        d = gen(case)
+        level = 1 if case % 2 else 9
+        c = compress(d, level)
+        assert decompress(c) == d
+        assert sys_bunzip2(c) == d
+        assert len(c) <= len(sys_bzip2(d, level))
+        assert decompress(sys_bzip2(d, level)) == d
