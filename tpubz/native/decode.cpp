@@ -92,6 +92,11 @@ struct DecodeTable {
   int32_t syms[258];
   // direct lookup for codes <= kLutBits: (sym << 5) | len, or -1
   int16_t lut[1 << kLutBits];
+  // pair lookup: when two whole codes fit in the kLutBits window, one load
+  // resolves both (avg code ~5 bits on compressible data, so most windows
+  // hold a pair): sym1 | sym2<<9 | total_bits<<18 | has2<<24, or -1 when
+  // even the first code does not resolve within the window
+  int32_t lut2[1 << kLutBits];
 };
 
 // Returns false when the code lengths oversubscribe the canonical code
@@ -133,6 +138,23 @@ bool build_decode_table(const int32_t* lens, int alpha, DecodeTable* t) {
       int32_t start = code << (kLutBits - l);
       for (int k = 0; k < span; k++)
         t->lut[start + k] = (int16_t)((sym << 5) | l);
+    }
+  }
+  for (int w = 0; w < (1 << kLutBits); w++) {
+    const int16_t h1 = t->lut[w];
+    if (h1 < 0) {
+      t->lut2[w] = -1;
+      continue;
+    }
+    const int s1 = h1 >> 5, l1 = h1 & 31;
+    const int16_t h2 = t->lut[(w << l1) & ((1 << kLutBits) - 1)];
+    // second code counts only if it resolves entirely within the window's
+    // remaining real bits (the shifted-in zeros below must stay unused)
+    if (l1 < kLutBits && h2 >= 0 && (h2 & 31) <= kLutBits - l1) {
+      const int s2 = h2 >> 5, l2 = h2 & 31;
+      t->lut2[w] = s1 | (s2 << 9) | ((l1 + l2) << 18) | (1 << 24);
+    } else {
+      t->lut2[w] = s1 | (511 << 9) | (l1 << 18);
     }
   }
   return true;
@@ -288,6 +310,31 @@ extern "C" int64_t tpubz_decode_block_prof(
           if (lpos + T.min_len > nbits) return -1;
           window = (uint64_t)peek(lpos, 56) << 8;  // guarded stream tail
           have = 56;
+        }
+      }
+      // pair fast path: one lut2 load resolves two whole codes when both
+      // fit the window (and neither is the EOB, the group has room, and
+      // the bounds/output-capacity checks pass — else fall through to the
+      // single-symbol path, which re-derives everything independently)
+      {
+        const int32_t h = T.lut2[window >> (64 - kLutBits)];
+        if (h >= 0 && (h >> 24) && g + 1 < kGroupSize) {
+          const int s1 = h & 511;
+          const int s2 = (h >> 9) & 511;
+          const int bits = (h >> 18) & 63;
+          if (s1 != eob && lpos + bits <= nbits && scount + 1 <= max_size) {
+            lpos += bits;
+            window <<= bits;
+            have -= bits;
+            symbuf[scount++] = (uint16_t)s1;
+            if (s2 == eob) {
+              done = true;
+              break;
+            }
+            symbuf[scount++] = (uint16_t)s2;
+            g++;
+            continue;
+          }
         }
       }
       int sym, l;
