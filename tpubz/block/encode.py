@@ -230,10 +230,22 @@ def _rle2_compact(ranks, n, used):
     s32 = syms.astype(jnp.int32)
     idx = jnp.arange(s32.shape[0], dtype=jnp.int32)
     is_hi = (s32 >= 256) & (idx < rle2_len - 1)
-    hi_key = jnp.where(is_hi, idx, jnp.int32(1 << 30))
-    (hi_sorted,) = jax.lax.sort((hi_key,), num_keys=1)
-    hi_pos = hi_sorted[:HI_CAP]
     hi_count = jnp.sum(is_hi.astype(jnp.int32))
+
+    # body symbols >= 256 exist only when the block uses all 256 byte values
+    # AND hits MTF rank 255, so the position-extraction sort sits behind a
+    # real runtime branch (lax.cond compiles to an HLO conditional on this
+    # per-block graph) — most blocks skip a full-width sort entirely
+    def _extract_hi():
+        hi_key = jnp.where(is_hi, idx, jnp.int32(1 << 30))
+        (hi_sorted,) = jax.lax.sort((hi_key,), num_keys=1)
+        return hi_sorted[:HI_CAP]
+
+    hi_pos = jax.lax.cond(
+        hi_count > 0,
+        _extract_hi,
+        lambda: jnp.full((HI_CAP,), 1 << 30, jnp.int32),
+    )
     syms_u8 = jnp.minimum(s32, 255).astype(jnp.uint8)
     q = syms_u8.reshape(4, -1)
     return rle2_len, (q[0], q[1], q[2], q[3]), hi_pos, hi_count, syms

@@ -36,10 +36,11 @@ import jax.numpy as jnp
 ABSENT = 256  # plain int: no backend init at import time
 
 
-def _prev_next_irank(symk, flat_idx, M):
-    """Global prev/next occurrence of each position's symbol, plus the
-    initial (sorted-alphabet) rank of that symbol among used symbols —
-    all from one sort of (symbol, position) and one sort back."""
+def _prev_next(symk, flat_idx, M):
+    """Global prev/next occurrence of each position's symbol, from one sort
+    of (symbol, position) and one 3-operand sort back. (The initial-rank of
+    a first-occurrence symbol used to ride this sort as a 4th operand; it is
+    cheaper as a standalone gather from the init_rank table at the caller.)"""
     s_key, s_idx = jax.lax.sort((symk, flat_idx), num_keys=1)
     same_prev = jnp.concatenate(
         (jnp.zeros(1, jnp.bool_), s_key[1:] == s_key[:-1])
@@ -49,11 +50,10 @@ def _prev_next_irank(symk, flat_idx, M):
     )
     prev_sorted = jnp.where(same_prev, jnp.roll(s_idx, 1), -1)
     next_sorted = jnp.where(same_next, jnp.roll(s_idx, -1), M)
-    irank_sorted = jnp.cumsum((~same_prev).astype(jnp.int32)) - 1
-    _, prev_g, next_g, irank_pos = jax.lax.sort(
-        (s_idx, prev_sorted, next_sorted, irank_sorted), num_keys=1
+    _, prev_g, next_g = jax.lax.sort(
+        (s_idx, prev_sorted, next_sorted), num_keys=1
     )
-    return s_key, s_idx, prev_g, next_g, irank_pos
+    return s_key, s_idx, prev_g, next_g
 
 
 def _ranks_from_parts(lprev, lnext, keyi, keyrow, chunk, use_pallas):
@@ -102,7 +102,7 @@ def mtf_ranks(
     # falls out of the occurrence scan below with no dedicated scatter
     sym = jnp.where(valid, last.astype(jnp.int32), 256)
 
-    s_sym, s_idx, prev_g, next_g, irank_pos = _prev_next_irank(sym, idx, N)
+    s_sym, s_idx, prev_g, next_g = _prev_next(sym, idx, N)
 
     # per-(chunk, symbol) last occurrence: flag last-in-chunk entries in the
     # (sym, idx) sorted stream, one structured scatter into (nc, 257)
@@ -133,8 +133,13 @@ def mtf_ranks(
     cstart = cid * chunk
     # recency key of each position's own symbol at its chunk start: for
     # first-in-chunk positions prev_g IS the last occurrence before the
-    # chunk (that's the only place keyi is consumed)
-    keyi = jnp.where(prev_g >= 0, N - prev_g, 2 * N + irank_pos).reshape(
+    # chunk (that's the only place keyi is consumed). First-EVER occurrences
+    # key by the symbol's initial rank — a standalone gather from the
+    # 257-entry table (pad symbol 256 -> ABSENT; value unused anyway).
+    irank_ext = jnp.concatenate(
+        (init_rank, jnp.full(1, ABSENT, jnp.int32))
+    )
+    keyi = jnp.where(prev_g >= 0, N - prev_g, 2 * N + irank_ext[sym]).reshape(
         nc, chunk
     )
     lprev = jnp.where(prev_g >= cstart, prev_g - cstart, -1).reshape(nc, chunk)
@@ -183,19 +188,10 @@ def mtf_ranks_batch(
     )
 
     # prev/next same-block by construction (equal symk implies equal block);
-    # the distinct-count rank over namespaced keys is global, so rebase it
-    # per block by subtracting the distinct count of earlier blocks
-    s_key, s_idx, prev_g, next_g, irank_flat = _prev_next_irank(
-        symk, flat_idx, M
-    )
-    first_flag = jnp.concatenate(
-        (jnp.ones(1, jnp.int32), (s_key[1:] != s_key[:-1]).astype(jnp.int32))
-    )
-    per_block_distinct = (
-        jnp.zeros(B, jnp.int32).at[s_key // 256].add(first_flag, mode="drop")
-    )
-    distinct_before = jnp.cumsum(per_block_distinct) - per_block_distinct
-    irank_pos = irank_flat - jnp.repeat(distinct_before, N)
+    # the initial rank of each position's symbol is a standalone gather
+    # from the per-block init_rank table (namespaced symk indexes it flat)
+    s_key, s_idx, prev_g, next_g = _prev_next(symk, flat_idx, M)
+    irank_pos = init_rank.reshape(B * 256)[symk]
 
     # per-(global chunk, symbol) last occurrence (chunks never span blocks)
     s_cid = s_idx // chunk
