@@ -45,6 +45,32 @@ def test_verbosity_stacking():
     assert parse_args(["-v", "-v"]).verbosity == 2
 
 
+def test_profile_flag_writes_trace(rng, tmp_path, monkeypatch):
+    """TPUBZ_PROFILE (and the --profile= flag that sets it) wraps the
+    device-path compress in a jax.profiler trace written to the given dir."""
+    o = parse_args(["--profile=" + str(tmp_path / "prof"), "-1"])
+    assert o.level == 1 and o.profile == str(tmp_path / "prof")
+    assert not o.files  # flag consumed, not treated as a file
+
+    import os
+
+    from tpubz.stream.api import compress
+
+    prof_dir = tmp_path / "prof"
+    monkeypatch.setenv("TPUBZ_PROFILE", str(prof_dir))
+    d = bytes(rng.integers(0, 64, 30_000, dtype=np.uint8))
+    c = compress(d, 1)
+    assert tpubz.decompress(c) == d
+    # jax writes plugins/profile/<ts>/*.xplane.pb under the trace dir
+    found = [
+        f
+        for root, _, files in os.walk(prof_dir)
+        for f in files
+        if f.endswith(".xplane.pb") or f.endswith(".trace.json.gz")
+    ]
+    assert found, "no profiler artifacts written"
+
+
 def test_iterations_flag(rng, tmp_path, monkeypatch):
     """--iterations controls refinement pass count (clamped >= 4); more
     passes can only keep or shrink output (best-snapshot rule)."""

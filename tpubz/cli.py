@@ -39,6 +39,8 @@ HELP = """usage: tpubz [flags and input files in any order]
    --best              alias for -9
    --iterations=N      Huffman refinement passes (default 8, min 4;
                        more passes can only shrink output)
+   --profile=DIR       write a jax.profiler trace of the compression to
+                       DIR (device-engine runs; view with tensorboard)
 
    If invoked as `bunzip2', default action is to decompress.
               as `bzcat', default action is to decompress to stdout.
@@ -61,6 +63,7 @@ class Opts:
         self.files: list[str] = []
         self.engine = "auto"  # auto | host | device
         self.iterations: int | None = None
+        self.profile: str | None = None
 
 
 def parse_args(argv: list[str], prog: str = "tpubz") -> Opts:
@@ -125,6 +128,8 @@ def parse_args(argv: list[str], prog: str = "tpubz") -> Opts:
                     o.iterations = int(arg.split("=", 1)[1])
                 except ValueError:
                     raise SystemExit(f"tpubz: bad value in {arg} (see --help)")
+            elif arg.startswith("--profile="):
+                o.profile = arg.split("=", 1)[1]
             elif arg == "--host-engine":
                 o.engine = "host"
             elif arg == "--device-engine":
@@ -190,6 +195,18 @@ def _setup_logging(o: Opts):
 def run(argv: list[str], prog: str = "tpubz") -> int:
     o = parse_args(argv, prog)
     _setup_logging(o)
+    if o.profile:
+        # one jax.profiler trace around the whole operation (covers the
+        # streaming file paths too); library callers get the same via
+        # TPUBZ_PROFILE on stream.api.compress
+        import jax
+
+        with jax.profiler.trace(o.profile):
+            return _run(o)
+    return _run(o)
+
+
+def _run(o: Opts) -> int:
     if o.iterations is not None:
         from .format.constants import set_huffman_iters
 

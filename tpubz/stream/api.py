@@ -94,6 +94,20 @@ def _encoder(level: int):
 
 
 def compress(data: bytes | np.ndarray, level: int = 9) -> bytes:
+    """Whole-stream device-path compression. TPUBZ_PROFILE=<dir> wraps the
+    call in a jax.profiler trace (device + host timelines, viewable with
+    tensorboard / xprof) — the TPU analogue of the reference's ubiquitous
+    leveled tracing story (SURVEY.md §5)."""
+    prof_dir = os.environ.get("TPUBZ_PROFILE")
+    if prof_dir:
+        import jax
+
+        with jax.profiler.trace(prof_dir):
+            return _compress_impl(data, level)
+    return _compress_impl(data, level)
+
+
+def _compress_impl(data: bytes | np.ndarray, level: int = 9) -> bytes:
     if not 1 <= level <= 9:
         raise ValueError("level must be 1..9")
     arr = (
