@@ -86,3 +86,98 @@ def test_stream_identical_with_and_without_native(rng, monkeypatch):
     monkeypatch.setattr(N, "refine_stream_native", lambda *a, **k: None)
     without = compress(d, 1)
     assert with_native == without
+
+
+def test_native_bwt_matches_hostref(rng):
+    """SA-IS rotation BWT (bwt.cpp) == hostref prefix-doubling BWT, key and
+    last column, across entropy regimes incl. the periodic tie cases the
+    rotation-order reversal exists for."""
+    from tpubz.hostref.bwt import bwt_encode
+    from tpubz.native import bwt_native
+
+    cases = [
+        rng.integers(0, 256, 10000).astype(np.uint8),
+        rng.integers(0, 4, 10000).astype(np.uint8),
+        np.tile(np.frombuffer(b"ab", np.uint8), 5000),        # period 2 | n
+        np.tile(np.frombuffer(b"abc", np.uint8), 3333),       # period 3 | n
+        np.full(8192, 65, np.uint8),                          # period 1
+        np.tile(np.frombuffer(b"ab", np.uint8), 5000)[:9999], # p does not | n
+        np.frombuffer(b"a", np.uint8),
+        np.frombuffer(b"ba", np.uint8),
+        np.frombuffer(b"banana", np.uint8),
+    ]
+    z = np.zeros(10000, np.uint8)
+    z[::7] = rng.integers(0, 256, z[::7].size)
+    cases.append(z)
+    for i, d in enumerate(cases):
+        res = bwt_native(d)
+        if res is None:
+            import pytest
+
+            pytest.skip("native lib unavailable")
+        k0, l0 = bwt_encode(d)
+        k1, l1 = res
+        assert k0 == k1, f"case {i}: key {k0} != {k1}"
+        assert np.array_equal(np.asarray(l0), l1), f"case {i}: last column"
+
+
+def test_native_block_transform_matches_hostref(rng):
+    from tpubz.hostref.bwt import bwt_encode
+    from tpubz.hostref.mtf_rle2 import mtf_rle2_encode
+    from tpubz.native import block_transform_native
+
+    for d in (
+        rng.integers(0, 256, 50000).astype(np.uint8),
+        rng.integers(0, 3, 50000).astype(np.uint8),
+        np.frombuffer(open("/etc/services", "rb").read()[:40000], np.uint8),
+    ):
+        res = block_transform_native(d)
+        if res is None:
+            import pytest
+
+            pytest.skip("native lib unavailable")
+        key, rle2, freqs, used = res
+        k0, l0 = bwt_encode(d)
+        rle0, f0, u0 = mtf_rle2_encode(l0)
+        assert key == k0
+        assert np.array_equal(rle0.astype(np.uint16), rle2)
+        assert np.array_equal(f0.astype(np.uint32), freqs)
+        assert np.array_equal(u0, used)
+
+
+def test_cpu_engine_stream_identical(rng, sys_bunzip2):
+    """The threaded CPU engine (native transform + native refine/emit) is
+    byte-identical to the pure-python oracle, multi-block, and decodable by
+    system bunzip2."""
+    from tpubz.hostref.stream import compress as oracle
+    from tpubz.stream.api import compress_cpu
+
+    text = open("/etc/services", "rb").read() * 3
+    d = (
+        text[:150_000]
+        + bytes(rng.integers(0, 256, 80_000, dtype=np.uint8))
+        + b"A" * 50_000
+    )
+    c = compress_cpu(d, 1)  # level 1 -> multiple blocks
+    assert c == oracle(d, 1)
+    assert sys_bunzip2(c) == d
+
+
+def test_cpu_engine_streaming_file(rng, tmp_path, sys_bunzip2, monkeypatch):
+    """compress_stream's host branch routes through the threaded CPU
+    pipeline and stays byte-identical to the one-shot path."""
+    import io
+
+    from tpubz.stream.api import compress_cpu
+    from tpubz.stream import files as F
+    from tpubz.stream.api import _HostFallbackEncoder
+
+    monkeypatch.setattr(
+        "tpubz.stream.api._encoder", lambda level: _HostFallbackEncoder(level)
+    )
+    monkeypatch.setattr(F, "WINDOW_BYTES", 300_000)
+    d = bytes(rng.integers(0, 64, 900_000, dtype=np.uint8))
+    buf = io.BytesIO()
+    F.compress_stream(io.BytesIO(d), buf, 1)
+    assert buf.getvalue() == compress_cpu(d, 1)
+    assert sys_bunzip2(buf.getvalue()) == d

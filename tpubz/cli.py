@@ -157,9 +157,11 @@ def _compress_fn(o: Opts):
 
         return compress
     if o.engine == "host":
-        from .hostref.stream import compress
+        # threaded native CPU engine (same output bytes as the device path;
+        # the pure-python oracle stays available as tpubz.hostref.stream)
+        from .stream.api import compress_cpu
 
-        return compress
+        return compress_cpu
     # auto: device if an accelerator is importable, else host
     try:
         from .stream.api import compress

@@ -20,7 +20,7 @@ _LOCK = threading.Lock()
 _LIB = None
 _LIB_FAILED = False
 
-_SOURCES = ["refine.cpp", "rle1.cpp", "decode.cpp", "pack.cpp"]
+_SOURCES = ["refine.cpp", "rle1.cpp", "decode.cpp", "pack.cpp", "bwt.cpp"]
 
 
 def _build() -> str | None:
@@ -99,6 +99,22 @@ def get_lib():
                 ctypes.c_uint64, ctypes.c_uint64,
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ]
+            lib.tpubz_bwt.restype = ctypes.c_int64
+            lib.tpubz_bwt.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p,
+            ]
+            lib.tpubz_mtf_rle2.restype = ctypes.c_int64
+            lib.tpubz_mtf_rle2.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ]
+            lib.tpubz_block_transform.restype = ctypes.c_int64
+            lib.tpubz_block_transform.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p,
             ]
             lib.tpubz_decode_block.restype = ctypes.c_int64
             lib.tpubz_decode_block.argtypes = [
@@ -284,6 +300,44 @@ def decode_block_native(data: np.ndarray, start_bit: int, level: int):
         }
         raise ValueError(reasons.get(int(rc), f"block decode failed ({rc})"))
     return out[:rc].copy(), int(end_bit[0]), int(blk_crc[0]), int(comp_crc[0])
+
+
+def bwt_native(block: np.ndarray):
+    """Rotation BWT via SA-IS on the doubled string (bwt.cpp). Returns
+    (key, last uint8[n]) or None; bit-identical to hostref.bwt.bwt_encode
+    including periodic-input tie-breaks."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    arr = np.ascontiguousarray(block, dtype=np.uint8)
+    last = np.empty(max(arr.size, 1), dtype=np.uint8)
+    key = np.zeros(1, dtype=np.int32)
+    rc = lib.tpubz_bwt(arr.ctypes.data, arr.size, last.ctypes.data,
+                       key.ctypes.data)
+    if rc < 0:
+        return None
+    return int(key[0]), last[: arr.size]
+
+
+def block_transform_native(block: np.ndarray):
+    """Fused BWT + MTF + RLE2 in one GIL-free native call. Returns
+    (key, rle2 uint16, freqs uint32[258], used bool[256]) or None —
+    the exact inputs DeviceBlockEncoder.emit_block consumes."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    arr = np.ascontiguousarray(block, dtype=np.uint8)
+    out = np.empty(arr.size + 8, dtype=np.uint16)
+    freqs = np.zeros(258, dtype=np.uint32)
+    used = np.zeros(256, dtype=np.uint8)
+    key = np.zeros(1, dtype=np.int32)
+    rl = lib.tpubz_block_transform(
+        arr.ctypes.data, arr.size, out.ctypes.data, freqs.ctypes.data,
+        used.ctypes.data, key.ctypes.data,
+    )
+    if rl < 0:
+        return None
+    return int(key[0]), out[:rl], freqs, used.astype(bool)
 
 
 def refine_stream_native(rle2: np.ndarray, alpha: int, iters: int):

@@ -64,17 +64,31 @@ _encoders: dict[int, object] = {}
 
 
 class _HostFallbackEncoder:
-    """Drop-in for DeviceBlockEncoder when no accelerator backend can
-    initialize (e.g. the TPU is claimed by another process): runs the host
-    reference block pipeline, preserving the same output bytes."""
+    """CPU block encoder: the drop-in for DeviceBlockEncoder when no
+    accelerator backend can initialize (or when the user forces the host
+    engine). The heavy stages run in ONE GIL-free native call per block
+    (SA-IS BWT + MTF + RLE2, tpubz/native/bwt.cpp) feeding the same native
+    refinement/emission the device path uses, so output bytes are identical
+    to both the device path and the numpy oracle; falls back to the oracle
+    pipeline if the native lib is unavailable."""
 
     def __init__(self, level: int):
         self.level = level
 
     def encode_block(self, rle1_block, crc):
-        from ..hostref.block import encode_block
+        from ..native import block_transform_native
 
-        return encode_block(rle1_block, crc)
+        res = block_transform_native(rle1_block)
+        if res is None:
+            from ..hostref.block import encode_block
+
+            return encode_block(rle1_block, crc)
+        key, rle2, freqs, used = res
+        from ..block.encode import DeviceBlockEncoder
+
+        return DeviceBlockEncoder.emit_block(
+            key, rle2, rle2.size, freqs, used, crc
+        )
 
 
 def _encoder(level: int):
@@ -107,7 +121,15 @@ def compress(data: bytes | np.ndarray, level: int = 9) -> bytes:
     return _compress_impl(data, level)
 
 
-def _compress_impl(data: bytes | np.ndarray, level: int = 9) -> bytes:
+def compress_cpu(data: bytes | np.ndarray, level: int = 9) -> bytes:
+    """Force the CPU engine (threaded native transform; no accelerator
+    used). Output bytes are identical to the device path."""
+    return _compress_impl(data, level, force_host=True)
+
+
+def _compress_impl(
+    data: bytes | np.ndarray, level: int = 9, force_host: bool = False
+) -> bytes:
     if not 1 <= level <= 9:
         raise ValueError("level must be 1..9")
     arr = (
@@ -115,7 +137,7 @@ def _compress_impl(data: bytes | np.ndarray, level: int = 9) -> bytes:
         if isinstance(data, (bytes, bytearray, memoryview))
         else np.asarray(data, dtype=np.uint8)
     )
-    enc = _encoder(level)
+    enc = _HostFallbackEncoder(level) if force_host else _encoder(level)
 
     acc = BitAccum()
     for b in STREAM_MAGIC:
@@ -124,11 +146,8 @@ def _compress_impl(data: bytes | np.ndarray, level: int = 9) -> bytes:
     out, blocks = rle1_blocks(arr, block_budget(level))
     s_crc = 0
     if isinstance(enc, _HostFallbackEncoder):
-        for (o0, o1, i0, i1) in blocks:
-            crc = block_crc(arr[i0:i1])
+        for crc, vals, bits in _host_block_results(enc, arr, out, blocks):
             s_crc = stream_crc_fold(s_crc, crc)
-            blk = enc.encode_block(out[o0:o1], crc)
-            vals, bits = blk.arrays()
             acc.extend(vals, bits)
     else:
         for crc, vals, bits in _device_block_results(enc, arr, out, blocks):
@@ -138,6 +157,45 @@ def _compress_impl(data: bytes | np.ndarray, level: int = 9) -> bytes:
     acc.put(s_crc, 32)
     payload, _ = acc.pack()
     return payload
+
+
+def _host_block_results(enc, arr, out, blocks):
+    """CPU-engine pipeline: per-block transform + refinement + emission on a
+    thread pool (the heavy stages are GIL-free native calls — the rayon-pool
+    analogue of reference compress.rs:125-132), with an ordered sliding
+    window bounding in-flight memory. Yields (crc, vals, bits) in block
+    order."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    workers = max(
+        1,
+        min(
+            int(os.environ.get("TPUBZ_HOST_THREADS", str(os.cpu_count() or 4))),
+            16,
+        ),
+    )
+
+    def one(o0, o1, i0, i1):
+        crc = block_crc(arr[i0:i1])
+        blk = enc.encode_block(out[o0:o1], crc)
+        vals, bits = blk.arrays()
+        return crc, vals, bits
+
+    if workers == 1 or len(blocks) <= 1:
+        for b in blocks:
+            yield one(*b)
+        return
+    pool = ThreadPoolExecutor(workers)
+    inflight: deque = deque()
+    try:
+        for b in blocks:
+            inflight.append(pool.submit(one, *b))
+            if len(inflight) >= 2 * workers:
+                yield inflight.popleft().result()
+        while inflight:
+            yield inflight.popleft().result()
+    finally:
+        pool.shutdown(wait=False)
 
 
 def _device_block_results(enc, arr, out, blocks):

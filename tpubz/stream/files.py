@@ -98,11 +98,11 @@ def compress_stream(fin: io.RawIOBase, fout: io.RawIOBase, level: int = 9) -> in
             keep = blocks
             carry = np.zeros(0, np.uint8)
         if isinstance(enc, _HostFallbackEncoder):
-            for (o0, o1, i0, i1) in keep:
-                crc = block_crc(data[i0:i1])
+            from .api import _host_block_results
+
+            for crc, vals, bits in _host_block_results(enc, data, out, keep):
                 s_crc = stream_crc_fold(s_crc, crc)
-                blk = enc.encode_block(out[o0:o1], crc)
-                sink.write_fields(*blk.arrays())
+                sink.write_fields(vals, bits)
                 wrote_block = True
         else:
             for crc, vals, bits in _device_block_results(enc, data, out, keep):
