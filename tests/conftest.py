@@ -22,6 +22,10 @@ try:
 except Exception:
     pass
 
+# hybrid CPU-steal off by default in tests so device-path tests genuinely
+# exercise the device route; hybrid tests enable it explicitly
+os.environ.setdefault("TPUBZ_HYBRID_CPU", "0")
+
 import numpy as np
 import pytest
 import subprocess

@@ -202,3 +202,19 @@ def test_split_lean_stream_byte_identical(rng, monkeypatch):
     c_dev = api.compress(d, 1)
     assert c_dev == host_compress(d, 1)
     assert decompress(c_dev) == d
+
+
+@pytest.mark.slow
+def test_hybrid_cpu_steal_byte_identical(rng, monkeypatch):
+    """With hybrid scheduling on, idle CPU workers steal whole blocks from
+    the device queue through the native engine; the stream must stay
+    byte-identical to the pure device route and the oracle."""
+    from tpubz.hostref.stream import compress as oracle
+    from tpubz.stream import api
+
+    d = bytes(rng.integers(0, 80, 350_000, dtype=np.uint8))
+    monkeypatch.setenv("TPUBZ_HYBRID_CPU", "2")
+    hybrid = api.compress(d, 1)
+    monkeypatch.setenv("TPUBZ_HYBRID_CPU", "0")
+    pure = api.compress(d, 1)
+    assert hybrid == pure == oracle(d, 1)

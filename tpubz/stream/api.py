@@ -200,7 +200,16 @@ def _host_block_results(enc, arr, out, blocks):
 
 def _device_block_results(enc, arr, out, blocks):
     """Run blocks through the device pipeline; yield (crc, vals, bits) in
-    block order while later blocks are still in flight."""
+    block order while later blocks are still in flight.
+
+    Hybrid scheduling: the device pipeline is link/chip-bound while most
+    host cores idle, and the native CPU engine (tpubz/native/bwt.cpp)
+    produces byte-identical blocks — so whenever a dedicated CPU worker is
+    free, the next block routes to it instead of the device
+    (TPUBZ_HYBRID_CPU=N workers; default cpu_count-3 so the device path's
+    own host legs — refine, emit, fetch — keep their cores). Aggregate
+    throughput becomes device rate + CPU rate; ordering is preserved by the
+    same in-flight deque."""
     BATCH = _batch_size()
     if BATCH > 1 and len(blocks) >= BATCH:
         # full batches only: every distinct batch shape compiles its own
@@ -241,8 +250,39 @@ def _device_block_results(enc, arr, out, blocks):
         vals, bits = blk.arrays()
         return crc, vals, bits
 
+    import threading
+
+    hybrid_n = int(
+        os.environ.get(
+            "TPUBZ_HYBRID_CPU", str(max(0, (os.cpu_count() or 4) - 3))
+        )
+    )
+    cpu_pool = cpu_slots = None
+    if hybrid_n > 0:
+        from ..native import get_lib
+
+        if get_lib() is not None:
+            cpu_pool = ThreadPoolExecutor(hybrid_n)
+            cpu_slots = threading.Semaphore(hybrid_n)
+    host_enc = _HostFallbackEncoder(enc.level)
+
+    def cpu_one(o0, o1, i0, i1):
+        try:
+            crc = block_crc(arr[i0:i1])
+            blk = host_enc.encode_block(out[o0:o1], crc)
+            vals, bits = blk.arrays()
+            return crc, vals, bits
+        finally:
+            cpu_slots.release()
+
     try:
         for (o0, o1, i0, i1) in blocks:
+            if cpu_pool is not None and cpu_slots.acquire(blocking=False):
+                inflight.append(cpu_pool.submit(cpu_one, o0, o1, i0, i1))
+                log.debug("in-flight blocks (cpu steal): %d", len(inflight))
+                if len(inflight) >= WINDOW:
+                    yield inflight.popleft().result()
+                continue
             # host-refine never reads freqs/hist on device: lean graph
             fut = enc.transform(out[o0:o1], lean=not DEVICE_REFINE)
             if DEVICE_REFINE:
@@ -260,6 +300,8 @@ def _device_block_results(enc, arr, out, blocks):
     finally:
         fetch_pool.shutdown(wait=False)
         emit_pool.shutdown(wait=False)
+        if cpu_pool is not None:
+            cpu_pool.shutdown(wait=False)
 
 
 def _hostref_block_results_batched(enc, arr, out, blocks):
