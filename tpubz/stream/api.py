@@ -251,6 +251,7 @@ def _device_block_results(enc, arr, out, blocks):
         return crc, vals, bits
 
     import threading
+    import time
 
     hybrid_n = int(
         os.environ.get(
@@ -266,18 +267,54 @@ def _device_block_results(enc, arr, out, blocks):
             cpu_slots = threading.Semaphore(hybrid_n)
     host_enc = _HostFallbackEncoder(enc.level)
 
+    # adaptive steal guard: this host's CPU allotment is bursty (measured
+    # 10-20x swings), so a CPU worker that was profitable one minute can be
+    # a liability the next. Steal one probe block, then steal only while
+    # the CPU's EMA block time beats the device's measured cadence times
+    # the remaining queue length — i.e. the stolen block will finish before
+    # the device would have gotten to it anyway.
+    cpu_ema = [0.0]  # 0 = no sample yet
+    dev_done: deque = deque(maxlen=8)  # completion timestamps
+
     def cpu_one(o0, o1, i0, i1):
+        t0 = time.time()
         try:
             crc = block_crc(arr[i0:i1])
             blk = host_enc.encode_block(out[o0:o1], crc)
             vals, bits = blk.arrays()
             return crc, vals, bits
         finally:
+            dt = time.time() - t0
+            cpu_ema[0] = dt if not cpu_ema[0] else 0.5 * cpu_ema[0] + 0.5 * dt
             cpu_slots.release()
 
+    def emit_timed(fetch_fut, i0, i1):
+        r = emit(fetch_fut, i0, i1)
+        dev_done.append(time.time())
+        return r
+
+    def emit_devrefine_timed(trans_out, i0, i1):
+        r = emit_devrefine(trans_out, i0, i1)
+        dev_done.append(time.time())
+        return r
+
+    def steal_ok(remaining: int) -> bool:
+        if not cpu_ema[0]:
+            return True  # probe
+        if len(dev_done) >= 2:
+            cadence = (dev_done[-1] - dev_done[0]) / (len(dev_done) - 1)
+        else:
+            cadence = 0.1  # no device sample yet: assume a healthy pipeline
+        return cpu_ema[0] < cadence * max(1, remaining)
+
     try:
-        for (o0, o1, i0, i1) in blocks:
-            if cpu_pool is not None and cpu_slots.acquire(blocking=False):
+        n_total = len(blocks)
+        for idx, (o0, o1, i0, i1) in enumerate(blocks):
+            if (
+                cpu_pool is not None
+                and steal_ok(n_total - idx)
+                and cpu_slots.acquire(blocking=False)
+            ):
                 inflight.append(cpu_pool.submit(cpu_one, o0, o1, i0, i1))
                 log.debug("in-flight blocks (cpu steal): %d", len(inflight))
                 if len(inflight) >= WINDOW:
@@ -286,10 +323,12 @@ def _device_block_results(enc, arr, out, blocks):
             # host-refine never reads freqs/hist on device: lean graph
             fut = enc.transform(out[o0:o1], lean=not DEVICE_REFINE)
             if DEVICE_REFINE:
-                inflight.append(emit_pool.submit(emit_devrefine, fut, i0, i1))
+                inflight.append(
+                    emit_pool.submit(emit_devrefine_timed, fut, i0, i1)
+                )
             else:
                 fetch_fut = fetch_pool.submit(materialize, fut)
-                inflight.append(emit_pool.submit(emit, fetch_fut, i0, i1))
+                inflight.append(emit_pool.submit(emit_timed, fetch_fut, i0, i1))
             # queue-depth observability, mirroring the reference's RX queue
             # logging (compress.rs:81-85)
             log.debug("in-flight device blocks: %d", len(inflight))
