@@ -251,17 +251,10 @@ extern "C" int64_t tpubz_mtf_rle2(const uint8_t* last, int64_t n,
       continue;
     }
     if (zeros) flush_zeros();
-    // roll the list forward while searching: mtf[j] slides to mtf[j+1]
-    // until b is found at rank r (rle2_mtf.rs:110-137 semantics)
-    uint8_t prev = mtf[0];
-    int32_t r = 1;
-    while (mtf[r] != b) {
-      uint8_t t = mtf[r];
-      mtf[r] = prev;
-      prev = t;
-      r++;
-    }
-    mtf[r] = prev;
+    // rank = position in the list (memchr), then one SIMD memmove shifts
+    // ranks 0..r-1 down — beats the byte-rolling search loop
+    int32_t r = (int32_t)((const uint8_t*)std::memchr(mtf, b, 256) - mtf);
+    std::memmove(mtf + 1, mtf, (size_t)r);
     mtf[0] = b;
     out[o++] = (uint16_t)(r + 1);
     freqs[r + 1]++;
