@@ -253,9 +253,15 @@ def _device_block_results(enc, arr, out, blocks):
     import threading
     import time
 
+    # default 2x the core count: the CPU workers stall on memory (SA-IS is
+    # cache-bound) and the device path's host legs block on relay IO, so
+    # oversubscription fills the scheduler gaps. Measured on the 4-core rig
+    # (8MB -9): 1 worker 9.8 MB/s, 4 -> 17.7, 8 -> 27.0, 12 -> 11 (thrash)
+    # — 2x cores is the knee; the steal_ok EMA guard still sheds workers
+    # whenever the device cadence beats the CPU block time.
     hybrid_n = int(
         os.environ.get(
-            "TPUBZ_HYBRID_CPU", str(max(0, (os.cpu_count() or 4) - 3))
+            "TPUBZ_HYBRID_CPU", str(min(2 * (os.cpu_count() or 4), 16))
         )
     )
     cpu_pool = cpu_slots = None
