@@ -8,16 +8,24 @@
 //
 // BWT: SA-IS (linear-time suffix array by induced sorting, written from the
 // textbook algorithm) over T = the lexicographically minimal rotation of S
-// (Booth's algorithm, O(n)): for the minimal rotation, suffix order equals
-// rotation order — the same property the reference exploits
-// (sais_fallback.rs:582-620), so the SA-IS input is n bytes, not the
-// doubled 2n. Identical rotations exist only when the block is fully
-// periodic (smallest period p divides n); suffix order puts each tie class
-// {m, m+p, ...} shortest-suffix-first, which maps to an arbitrary S-index
-// order after rotation — each class run is rewritten ascending
+// (two-pointer least-rotation, O(n) time O(1) space): for the minimal
+// rotation, suffix order equals rotation order — the same property the
+// reference exploits (sais_fallback.rs:582-620), so the SA-IS input is n
+// bytes, not the doubled 2n. Identical rotations exist only when the block
+// is fully periodic (smallest period p divides n); suffix order puts each
+// tie class {m, m+p, ...} shortest-suffix-first, which maps to an arbitrary
+// S-index order after rotation — each class run is rewritten ascending
 // (m, m+p, ...) in closed form, matching the hostref and device engines
 // bit-for-bit (they break rank ties by index). Validated against the
 // hostref oracle on 8.6k brute-force cases incl. all-periodic regimes.
+//
+// SA-IS memory-layout note: the induce passes read a RANDOM position j-1
+// per SA entry, so the per-level string is stored FUSED as
+// (value << 1) | S-type — one random cacheline touch per step instead of
+// two (separate value + type arrays), u16 lanes at the top level. Equality
+// of fused elements == equality of (value, type) pairs, which is exactly
+// what the LMS-substring naming loop compares, so the fused form serves
+// every consumer.
 //
 // MTF+RLE2: the serial scan with the roll-while-searching list update and
 // bijective base-2 zero runs (semantics of src/tools/rle2_mtf.rs:23-177).
@@ -29,21 +37,21 @@
 
 namespace {
 
-// SA-IS over an integer string s[0..n) with values in [0, K); s[n-1] must
-// be the unique smallest value (sentinel). Fills sa[0..n).
-void sais_core(const int32_t* s, int32_t* sa, int32_t n, int32_t K) {
+// SA-IS over a FUSED string sv[0..n): sv[i] = (value << 1) | stype, values
+// in [0, K); position n-1 must hold the unique smallest value (sentinel,
+// S-type by convention => sv[n-1] == 1). Fills sa[0..n).
+template <typename FusedT>
+void sais_fused(const FusedT* sv, int32_t* sa, int32_t n, int32_t K) {
   if (n == 1) {
     sa[0] = 0;
     return;
   }
-  std::vector<uint8_t> stype(n);  // 1 = S-type, 0 = L-type
-  stype[n - 1] = 1;
-  for (int32_t i = n - 2; i >= 0; --i)
-    stype[i] = (s[i] < s[i + 1]) || (s[i] == s[i + 1] && stype[i + 1]);
-  auto is_lms = [&](int32_t i) { return i > 0 && stype[i] && !stype[i - 1]; };
+  auto is_lms = [&](int32_t i) {
+    return i > 0 && (sv[i] & 1) && !(sv[i - 1] & 1);
+  };
 
   std::vector<int32_t> cnt(K, 0), bkt(K);
-  for (int32_t i = 0; i < n; ++i) cnt[s[i]]++;
+  for (int32_t i = 0; i < n; ++i) cnt[sv[i] >> 1]++;
   auto bkt_tails = [&]() {
     int32_t sum = 0;
     for (int32_t c = 0; c < K; ++c) {
@@ -63,12 +71,18 @@ void sais_core(const int32_t* s, int32_t* sa, int32_t n, int32_t K) {
     bkt_heads();
     for (int32_t i = 0; i < n; ++i) {
       int32_t j = sa[i];
-      if (j > 0 && !stype[j - 1]) sa[bkt[s[j - 1]]++] = j - 1;
+      if (j > 0) {
+        FusedT v = sv[j - 1];  // ONE random read: value + type together
+        if (!(v & 1)) sa[bkt[v >> 1]++] = j - 1;
+      }
     }
     bkt_tails();
     for (int32_t i = n - 1; i >= 0; --i) {
       int32_t j = sa[i];
-      if (j > 0 && stype[j - 1]) sa[--bkt[s[j - 1]]] = j - 1;
+      if (j > 0) {
+        FusedT v = sv[j - 1];
+        if (v & 1) sa[--bkt[v >> 1]] = j - 1;
+      }
     }
   };
 
@@ -77,15 +91,17 @@ void sais_core(const int32_t* s, int32_t* sa, int32_t n, int32_t K) {
   std::fill(sa, sa + n, -1);
   bkt_tails();
   for (int32_t i = n - 1; i >= 0; --i)
-    if (is_lms(i)) sa[--bkt[s[i]]] = i;
+    if (is_lms(i)) sa[--bkt[sv[i] >> 1]] = i;
   induce();
 
-  // name LMS substrings in their sorted order
+  // name LMS substrings in their sorted order. Two LMS positions are never
+  // adjacent (an LMS needs an L directly before it), so name[] indexed by
+  // cur/2 is collision-free at half the footprint.
   std::vector<int32_t> lms;  // LMS positions in index order
   for (int32_t i = 0; i < n; ++i)
     if (is_lms(i)) lms.push_back(i);
   int32_t m = (int32_t)lms.size();
-  std::vector<int32_t> name(n, -1);
+  std::vector<int32_t> name(n / 2 + 1, -1);
   int32_t names = 0;
   int32_t prev = -1;
   for (int32_t i = 0; i < n; ++i) {
@@ -96,7 +112,7 @@ void sais_core(const int32_t* s, int32_t* sa, int32_t n, int32_t K) {
       for (int32_t d = 0;; ++d) {
         bool end_p = d > 0 && is_lms(prev + d);
         bool end_c = d > 0 && is_lms(cur + d);
-        if (s[prev + d] != s[cur + d] || stype[prev + d] != stype[cur + d]) {
+        if (sv[prev + d] != sv[cur + d]) {  // fused == (value, type) pair
           differ = true;
           break;
         }
@@ -107,18 +123,28 @@ void sais_core(const int32_t* s, int32_t* sa, int32_t n, int32_t K) {
       }
     }
     if (differ) names++;
-    name[cur] = names - 1;
+    name[cur >> 1] = names - 1;
     prev = cur;
   }
 
   // reduced problem: names in LMS index order (ends with the sentinel's
-  // unique smallest name, so the precondition holds recursively)
-  std::vector<int32_t> s1(m), sa1(m);
-  for (int32_t k = 0; k < m; ++k) s1[k] = name[lms[k]];
+  // unique smallest name, so the precondition holds recursively). The
+  // reduced string is built directly in fused form.
+  std::vector<int32_t> sa1(m);
   if (names < m) {
-    sais_core(s1.data(), sa1.data(), m, names);
+    std::vector<int32_t> sv1(m);
+    int32_t nv = name[lms[m - 1] >> 1];  // sentinel name
+    uint8_t ty = 1;
+    sv1[m - 1] = (nv << 1) | 1;
+    for (int32_t k = m - 2; k >= 0; --k) {
+      int32_t v = name[lms[k] >> 1];
+      ty = (v < nv) || (v == nv && ty);
+      sv1[k] = (v << 1) | ty;
+      nv = v;
+    }
+    sais_fused<int32_t>(sv1.data(), sa1.data(), m, names);
   } else {
-    for (int32_t k = 0; k < m; ++k) sa1[s1[k]] = k;
+    for (int32_t k = 0; k < m; ++k) sa1[name[lms[k] >> 1]] = k;
   }
 
   // pass 2: LMS suffixes at bucket tails in their true sorted order, induce
@@ -126,40 +152,51 @@ void sais_core(const int32_t* s, int32_t* sa, int32_t n, int32_t K) {
   bkt_tails();
   for (int32_t k = m - 1; k >= 0; --k) {
     int32_t j = lms[sa1[k]];
-    sa[--bkt[s[j]]] = j;
+    sa[--bkt[sv[j] >> 1]] = j;
   }
   induce();
 }
 
-// Suffix array of a byte string (values shifted +1, sentinel appended).
+// Suffix array of a byte string (values shifted +1, sentinel appended,
+// fused u16 lanes: 4x less random-read traffic than int32 value+type).
 void sais_u8(const uint8_t* t, int32_t* sa_out, int32_t n) {
-  std::vector<int32_t> s(n + 1);
-  for (int32_t i = 0; i < n; ++i) s[i] = (int32_t)t[i] + 1;
-  s[n] = 0;
-  std::vector<int32_t> sa(n + 1);
-  sais_core(s.data(), sa.data(), n + 1, 257);
+  int32_t N = n + 1;
+  std::vector<uint16_t> sv((size_t)N);
+  sv[n] = 1;  // sentinel: value 0, S-type
+  int32_t nv = 0;
+  uint8_t ty = 1;
+  for (int32_t i = n - 1; i >= 0; --i) {
+    int32_t v = (int32_t)t[i] + 1;
+    ty = (v < nv) || (v == nv && ty);
+    sv[i] = (uint16_t)((v << 1) | ty);
+    nv = v;
+  }
+  std::vector<int32_t> sa((size_t)N);
+  sais_fused<uint16_t>(sv.data(), sa.data(), N, 257);
   std::memcpy(sa_out, sa.data() + 1, (size_t)n * sizeof(int32_t));
 }
 
-// Booth's algorithm: start index of the lexicographically minimal rotation.
-int32_t booth_min_rotation(const uint8_t* s, int32_t n) {
-  std::vector<int32_t> f((size_t)2 * n, -1);
-  int32_t k = 0;
-  for (int32_t j = 1; j < 2 * n; ++j) {
-    uint8_t sj = s[j % n];
-    int32_t i = f[j - k - 1];
-    while (i != -1 && sj != s[(k + i + 1) % n]) {
-      if (sj < s[(k + i + 1) % n]) k = j - i - 1;
-      i = f[i];
+// Start index of the lexicographically minimal rotation: the classic
+// two-pointer "minimum expression" duel, O(n) time, O(1) space (the
+// reference reaches the same rotation via Duval factorization,
+// sais_fallback.rs:781-816).
+int32_t least_rotation(const uint8_t* s, int32_t n) {
+  int32_t i = 0, j = 1, k = 0;
+  while (i < n && j < n && k < n) {
+    int32_t ik = i + k, jk = j + k;
+    int32_t d = (int32_t)s[ik < n ? ik : ik - n] - (int32_t)s[jk < n ? jk : jk - n];
+    if (d == 0) {
+      ++k;
+      continue;
     }
-    if (sj != s[(k + i + 1) % n]) {
-      if (sj < s[k % n]) k = j;
-      f[j - k] = -1;
-    } else {
-      f[j - k] = i + 1;
-    }
+    if (d > 0)
+      i += k + 1;
+    else
+      j += k + 1;
+    if (i == j) ++j;
+    k = 0;
   }
-  return k % n;
+  return i < j ? i : j;
 }
 
 }  // namespace
@@ -173,7 +210,7 @@ extern "C" int64_t tpubz_bwt(const uint8_t* data, int64_t n64,
     last[0] = data[0];
     return 1;
   }
-  int32_t r = booth_min_rotation(data, n);
+  int32_t r = least_rotation(data, n);
   std::vector<uint8_t> T((size_t)n);
   std::memcpy(T.data(), data + r, (size_t)(n - r));
   std::memcpy(T.data() + (n - r), data, (size_t)r);
@@ -187,20 +224,29 @@ extern "C" int64_t tpubz_bwt(const uint8_t* data, int64_t n64,
     rot[i] = v >= n ? v - n : v;
   }
 
-  // smallest period via the KMP failure function on T; identical rotations
-  // exist iff p < n and p | n ("has a period dividing n" is rotation-
-  // invariant). Tie classes are consecutive runs of n/p entries, all
-  // congruent mod p in S-space; rewrite each ascending (m, m+p, ...) to
-  // match the hostref/device index tie-break.
-  std::vector<int32_t> f((size_t)n, 0);
-  for (int32_t i = 1; i < n; ++i) {
-    int32_t k = f[i - 1];
-    while (k && T[i] != T[k]) k = f[k - 1];
-    if (T[i] == T[k]) k++;
-    f[i] = k;
+  // smallest period of T dividing n; identical rotations exist iff p < n
+  // ("has a period dividing n" is rotation-invariant). Periods dividing n
+  // are gcd-closed (Fine–Wilf: two proper ones sum to <= n), so the
+  // minimum divides every other and greedy division by n's prime factors
+  // reaches it — each candidate is one memcmp that exits on the first
+  // mismatch, so the non-periodic common case costs a few bytes per prime
+  // (the KMP failure function this replaces built a 4n-byte table).
+  // Tie classes are consecutive runs of n/p entries, all congruent mod p
+  // in S-space; rewrite each ascending (m, m+p, ...) to match the
+  // hostref/device index tie-break.
+  auto is_period = [&](int32_t q) {
+    return std::memcmp(T.data(), T.data() + q, (size_t)(n - q)) == 0;
+  };
+  int32_t p = n;
+  int32_t rem = n;
+  for (int32_t q = 2; (int64_t)q * q <= rem; ++q) {
+    while (rem % q == 0) {
+      rem /= q;
+      if (p % q == 0 && is_period(p / q)) p /= q;
+    }
   }
-  int32_t p = n - f[n - 1];
-  if (p < n && n % p == 0) {
+  if (rem > 1 && p % rem == 0 && is_period(p / rem)) p /= rem;
+  if (p < n) {
     int32_t group = n / p;
     for (int32_t g = 0; g < p; ++g) {
       int32_t m = rot[(size_t)g * group] % p;
