@@ -217,13 +217,6 @@ extern "C" int64_t tpubz_bwt(const uint8_t* data, int64_t n64,
   std::vector<int32_t> sa((size_t)n);
   sais_u8(T.data(), sa.data(), n);
 
-  // rotation order of S: rotation of T at i starts at (i + r) mod n in S
-  std::vector<int32_t> rot((size_t)n);
-  for (int32_t i = 0; i < n; ++i) {
-    int32_t v = sa[i] + r;
-    rot[i] = v >= n ? v - n : v;
-  }
-
   // smallest period of T dividing n; identical rotations exist iff p < n
   // ("has a period dividing n" is rotation-invariant). Periods dividing n
   // are gcd-closed (Fine–Wilf: two proper ones sum to <= n), so the
@@ -246,20 +239,26 @@ extern "C" int64_t tpubz_bwt(const uint8_t* data, int64_t n64,
     }
   }
   if (rem > 1 && p % rem == 0 && is_period(p / rem)) p /= rem;
-  if (p < n) {
-    int32_t group = n / p;
-    for (int32_t g = 0; g < p; ++g) {
-      int32_t m = rot[(size_t)g * group] % p;
-      for (int32_t j = 0; j < group; ++j)
-        rot[(size_t)g * group + j] = m + j * p;
-    }
-  }
 
+  // BWT last column directly from T (no rot array): S-rotation
+  // (sa[i]+r) mod n and T-rotation sa[i] are the same string, so the byte
+  // before it is last[i] = T[(sa[i]-1) mod n]. Within a periodic tie
+  // class all members are identical rotations, so `last` needs no tie
+  // rewrite (T's cyclic period p makes T[(x-1) mod n] constant on the
+  // class). key = sorted position of S's rotation 0 = T-rotation
+  // (n-r) mod n, folded into the same pass.
+  int32_t target = r == 0 ? 0 : n - r;
   int32_t key = 0;
   for (int32_t i = 0; i < n; ++i) {
-    int32_t v = rot[i];
-    last[i] = data[v == 0 ? n - 1 : v - 1];
-    if (v == 0) key = i;
+    int32_t v = sa[i];
+    last[i] = T[v == 0 ? n - 1 : v - 1];
+    if (v == target) key = i;
+  }
+  if (p < n) {
+    // ascending (m, m+p, ...) tie rewrite puts rotation 0 — class m == 0,
+    // smallest member — at the FIRST slot of its n/p-wide class run
+    int32_t group = n / p;
+    key = key / group * group;
   }
   *key_out = key;
   return n;
