@@ -121,6 +121,48 @@ def test_native_bwt_matches_hostref(rng):
         assert np.array_equal(np.asarray(l0), l1), f"case {i}: last column"
 
 
+def test_native_bwt_fuzz_periodic_regimes(rng):
+    """Mini-fuzz of the least-rotation + prime-divisor-period + tie-class
+    key derivation against the oracle: periodic, periodic-with-tail, and
+    near-periodic (one flipped byte) inputs are exactly the shapes where a
+    wrong minimal rotation or period would corrupt key/last."""
+    from tpubz.hostref.bwt import bwt_encode
+    from tpubz.native import bwt_native
+
+    if bwt_native(np.frombuffer(b"ab", np.uint8)) is None:
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    for trial in range(300):
+        kind = trial % 5
+        if kind == 0:
+            p = int(rng.integers(1, 7))
+            a = np.tile(rng.integers(0, 3, p), int(rng.integers(2, 40)))
+        elif kind == 1:  # periodic plus tail: period must NOT divide n
+            p = int(rng.integers(1, 7))
+            a = np.concatenate(
+                [
+                    np.tile(rng.integers(0, 3, p), int(rng.integers(2, 40))),
+                    rng.integers(0, 3, int(rng.integers(1, p + 1))),
+                ]
+            )
+        elif kind == 2:  # near-periodic: one byte flipped
+            p = int(rng.integers(1, 8))
+            a = np.tile(rng.integers(0, 4, p), int(rng.integers(3, 40))).copy()
+            a[int(rng.integers(0, a.size))] ^= 1
+        elif kind == 3:
+            a = rng.integers(0, 2, int(rng.integers(1, 300)))
+        else:
+            a = rng.integers(0, 256, int(rng.integers(1, 300)))
+        a = a.astype(np.uint8)
+        k0, l0 = bwt_encode(a)
+        k1, l1 = bwt_native(a)
+        assert k0 == k1 and np.array_equal(np.asarray(l0), l1), (
+            kind,
+            a[:32].tolist(),
+        )
+
+
 def test_native_block_transform_matches_hostref(rng):
     from tpubz.hostref.bwt import bwt_encode
     from tpubz.hostref.mtf_rle2 import mtf_rle2_encode
