@@ -289,20 +289,66 @@ extern "C" int64_t tpubz_mtf_rle2(const uint8_t* last, int64_t n,
     }
     zeros = 0;
   };
-  for (int64_t i = 0; i < n; ++i) {
+  // SWAR over the 256-byte MTF list and the input: find-byte and run-scan
+  // eight lanes per step with no per-symbol libc call overhead.
+  constexpr uint64_t ONES = 0x0101010101010101ull;
+  constexpr uint64_t HIGH = 0x8080808080808080ull;
+  int64_t i = 0;
+  while (i < n) {
     uint8_t b = last[i];
     if (mtf[0] == b) {
-      zeros++;
+      // zero run: consume the whole run of the current head byte at once
+      int64_t j = i + 1;
+      uint64_t pat = (uint64_t)b * ONES;
+      while (j + 8 <= n) {
+        uint64_t w;
+        std::memcpy(&w, last + j, 8);
+        uint64_t x = w ^ pat;
+        if (x) {
+          j += (int64_t)(__builtin_ctzll(x) >> 3);
+          goto run_end;
+        }
+        j += 8;
+      }
+      while (j < n && last[j] == b) ++j;
+    run_end:
+      zeros += j - i;
+      i = j;
       continue;
     }
     if (zeros) flush_zeros();
-    // rank = position in the list (memchr), then one SIMD memmove shifts
-    // ranks 0..r-1 down — beats the byte-rolling search loop
-    int32_t r = (int32_t)((const uint8_t*)std::memchr(mtf, b, 256) - mtf);
-    std::memmove(mtf + 1, mtf, (size_t)r);
-    mtf[0] = b;
-    out[o++] = (uint16_t)(r + 1);
-    freqs[r + 1]++;
+    {
+      // rank = position in the list: SWAR find-zero-byte on mtf ^ b
+      uint64_t pat = (uint64_t)b * ONES;
+      int32_t r = 0;
+      for (int32_t off = 0;; off += 8) {
+        uint64_t w;
+        std::memcpy(&w, mtf + off, 8);
+        uint64_t x = w ^ pat;
+        uint64_t m = (x - ONES) & ~x & HIGH;
+        if (m) {
+          r = off + (int32_t)(__builtin_ctzll(m) >> 3);
+          break;
+        }
+      }
+      if (r < 8) {
+        // in-register shift of the head word: bytes 1..r get old 0..r-1
+        uint64_t w;
+        std::memcpy(&w, mtf, 8);
+        uint64_t repl = (w << 8) | b;
+        if (r < 7) {
+          uint64_t keep = ~0ull << (8 * (r + 1));
+          repl = (repl & ~keep) | (w & keep);
+        }
+        std::memcpy(mtf, &repl, 8);
+      } else {
+        std::memmove(mtf + 1, mtf, (size_t)r);
+        mtf[0] = b;
+      }
+      out[o++] = (uint16_t)(r + 1);
+      freqs[r + 1]++;
+    }
+    ++i;
   }
   if (zeros) flush_zeros();
   out[o++] = eob;
