@@ -67,9 +67,18 @@ void sais_fused(const FusedT* sv, int32_t* sa, int32_t n, int32_t K) {
     }
   };
 
+  // The induce scans are latency-bound on the random sv[j-1] read (j jumps
+  // with suffix order); sa itself is read sequentially, so the upcoming
+  // read targets are known PD iterations early — prefetch them. Entries
+  // not yet induced read as -1 at prefetch time (harmless no-op hint).
+  constexpr int32_t PD = 24;
   auto induce = [&]() {
     bkt_heads();
     for (int32_t i = 0; i < n; ++i) {
+      if (i + PD < n) {
+        int32_t jp = sa[i + PD];
+        if (jp > 0) __builtin_prefetch(&sv[jp - 1]);
+      }
       int32_t j = sa[i];
       if (j > 0) {
         FusedT v = sv[j - 1];  // ONE random read: value + type together
@@ -78,6 +87,10 @@ void sais_fused(const FusedT* sv, int32_t* sa, int32_t n, int32_t K) {
     }
     bkt_tails();
     for (int32_t i = n - 1; i >= 0; --i) {
+      if (i - PD >= 0) {
+        int32_t jp = sa[i - PD];
+        if (jp > 0) __builtin_prefetch(&sv[jp - 1]);
+      }
       int32_t j = sa[i];
       if (j > 0) {
         FusedT v = sv[j - 1];
