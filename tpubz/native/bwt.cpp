@@ -170,11 +170,22 @@ void sais_fused(const FusedT* sv, int32_t* sa, int32_t n, int32_t K) {
   induce();
 }
 
+// Per-thread scratch reused across blocks: the top-level arrays total
+// ~6.5 MB per 900k block, and fresh vector allocations would pay mmap
+// page faults + kernel zeroing on every call (the block pools are
+// long-lived threads, so the arrays are hot after the first block).
+thread_local std::vector<uint8_t> tl_T;
+thread_local std::vector<uint16_t> tl_sv;
+thread_local std::vector<int32_t> tl_sa;
+
 // Suffix array of a byte string (values shifted +1, sentinel appended,
 // fused u16 lanes: 4x less random-read traffic than int32 value+type).
-void sais_u8(const uint8_t* t, int32_t* sa_out, int32_t n) {
+// Returns a pointer into thread-local scratch, valid until the next call
+// on this thread: entry i is the start of the i-th smallest suffix.
+const int32_t* sais_u8(const uint8_t* t, int32_t n) {
   int32_t N = n + 1;
-  std::vector<uint16_t> sv((size_t)N);
+  if ((int32_t)tl_sv.size() < N) tl_sv.resize(N);
+  uint16_t* sv = tl_sv.data();
   sv[n] = 1;  // sentinel: value 0, S-type
   int32_t nv = 0;
   uint8_t ty = 1;
@@ -184,9 +195,9 @@ void sais_u8(const uint8_t* t, int32_t* sa_out, int32_t n) {
     sv[i] = (uint16_t)((v << 1) | ty);
     nv = v;
   }
-  std::vector<int32_t> sa((size_t)N);
-  sais_fused<uint16_t>(sv.data(), sa.data(), N, 257);
-  std::memcpy(sa_out, sa.data() + 1, (size_t)n * sizeof(int32_t));
+  if ((int32_t)tl_sa.size() < N) tl_sa.resize(N);
+  sais_fused<uint16_t>(sv, tl_sa.data(), N, 257);
+  return tl_sa.data() + 1;  // drop the sentinel's slot 0
 }
 
 // Start index of the lexicographically minimal rotation: the classic
@@ -224,11 +235,11 @@ extern "C" int64_t tpubz_bwt(const uint8_t* data, int64_t n64,
     return 1;
   }
   int32_t r = least_rotation(data, n);
-  std::vector<uint8_t> T((size_t)n);
-  std::memcpy(T.data(), data + r, (size_t)(n - r));
-  std::memcpy(T.data() + (n - r), data, (size_t)r);
-  std::vector<int32_t> sa((size_t)n);
-  sais_u8(T.data(), sa.data(), n);
+  if ((int32_t)tl_T.size() < n) tl_T.resize(n);
+  uint8_t* T = tl_T.data();
+  std::memcpy(T, data + r, (size_t)(n - r));
+  std::memcpy(T + (n - r), data, (size_t)r);
+  const int32_t* sa = sais_u8(T, n);
 
   // smallest period of T dividing n; identical rotations exist iff p < n
   // ("has a period dividing n" is rotation-invariant). Periods dividing n
@@ -241,7 +252,7 @@ extern "C" int64_t tpubz_bwt(const uint8_t* data, int64_t n64,
   // in S-space; rewrite each ascending (m, m+p, ...) to match the
   // hostref/device index tie-break.
   auto is_period = [&](int32_t q) {
-    return std::memcmp(T.data(), T.data() + q, (size_t)(n - q)) == 0;
+    return std::memcmp(T, T + q, (size_t)(n - q)) == 0;
   };
   int32_t p = n;
   int32_t rem = n;
@@ -373,7 +384,9 @@ extern "C" int64_t tpubz_mtf_rle2(const uint8_t* last, int64_t n,
 extern "C" int64_t tpubz_block_transform(const uint8_t* data, int64_t n,
                                          uint16_t* rle2_out, uint32_t* freqs,
                                          uint8_t* used, int32_t* key_out) {
-  std::vector<uint8_t> last(n > 0 ? (size_t)n : 1);
-  if (tpubz_bwt(data, n, last.data(), key_out) < 0) return -1;
-  return tpubz_mtf_rle2(last.data(), n, rle2_out, freqs, used);
+  thread_local std::vector<uint8_t> tl_last;
+  if ((int64_t)tl_last.size() < (n > 0 ? n : 1))
+    tl_last.resize(n > 0 ? (size_t)n : 1);
+  if (tpubz_bwt(data, n, tl_last.data(), key_out) < 0) return -1;
+  return tpubz_mtf_rle2(tl_last.data(), n, rle2_out, freqs, used);
 }
