@@ -719,10 +719,57 @@ extern "C" void tpubz_find_magic2(const uint8_t* data, int64_t nbytes,
   int64_t f1 = 0, f2 = 0;
   const uint64_t mask = (1ull << 48) - 1;
   const uint64_t mask56 = (1ull << 56) - 1;
+
+  // Fast path: the byte at p+2 sits fully inside the 48-bit window for
+  // every shift s in 0..7 (window bits [16-s, 24-s)), so a 256-entry LUT
+  // keyed on that byte yields the candidate (magic, s) slots and only
+  // ~16/256 of positions take the verify load — one LUT byte per input
+  // byte instead of eight window compares.
+  uint16_t lut[256];
+  std::memset(lut, 0, sizeof(lut));
+  uint8_t slot_s[16];
+  for (int which = 0; which < 2; ++which) {
+    uint64_t m = which ? magic2 : magic1;
+    for (int s = 0; s < 8; ++s) {
+      int b = (int)((m >> (24 + s)) & 0xFF);
+      int sl = which * 8 + s;
+      slot_s[sl] = (uint8_t)s;
+      lut[b] |= (uint16_t)(1u << sl);
+    }
+  }
+  int64_t fast_p_end = nbytes - 8;  // verify reads 8 bytes at p
+  for (int64_t p = 0; p <= fast_p_end; ++p) {
+    uint16_t hits = lut[data[p + 2]];
+    while (hits) {
+      int sl = __builtin_ctz(hits);
+      hits &= (uint16_t)(hits - 1);
+      int s = slot_s[sl];
+      uint64_t W;
+      std::memcpy(&W, data + p, 8);
+      W = __builtin_bswap64(W);
+      uint64_t v = ((W << s) >> 16) & mask;
+      if (sl < 8) {
+        if (v == magic1) {
+          if (f1 < cap1) out1[f1] = 8 * p + s;
+          f1++;
+        }
+      } else {
+        if (v == magic2) {
+          if (f2 < cap2) out2[f2] = 8 * p + s;
+          f2++;
+        }
+      }
+    }
+  }
+
+  // scalar rolling-window tail for the last ≤2 positions (and all of a
+  // tiny input), where the 8-byte verify load would run past the buffer
+  int64_t p0 = fast_p_end + 1;
+  if (p0 < 0) p0 = 0;
   uint64_t w7 = 0;
-  for (int i = 0; i < 6 && i < nbytes; i++) w7 = (w7 << 8) | data[i];
+  for (int i = 0; i < 6; i++) w7 = (w7 << 8) | data[p0 + i];
   w7 <<= 8;
-  for (int64_t p = 0; p + 6 <= nbytes; p++) {
+  for (int64_t p = p0; p + 6 <= nbytes; p++) {
     int smax;
     if (p + 7 <= nbytes) {
       w7 = (w7 & ~0xFFull) | data[p + 6];
