@@ -681,11 +681,37 @@ extern "C" int64_t tpubz_find_magic(const uint8_t* data, int64_t nbytes,
   int64_t found = 0;
   const uint64_t mask = (1ull << 48) - 1;
   const uint64_t mask56 = (1ull << 56) - 1;
-  // rolling 7-byte window w7 = bytes [p, p+7) MSB-first (56 bits)
+
+  // LUT fast path on the fully-interior byte at p+2 (see
+  // tpubz_find_magic2 for the derivation)
+  uint8_t lut[256];
+  std::memset(lut, 0, sizeof(lut));
+  for (int s = 0; s < 8; ++s)
+    lut[(magic >> (24 + s)) & 0xFF] |= (uint8_t)(1u << s);
+  int64_t fast_p_end = nbytes - 8;
+  for (int64_t p = 0; p <= fast_p_end; ++p) {
+    uint8_t hits = lut[data[p + 2]];
+    while (hits) {
+      int s = __builtin_ctz(hits);
+      hits &= (uint8_t)(hits - 1);
+      uint64_t W;
+      std::memcpy(&W, data + p, 8);
+      W = __builtin_bswap64(W);
+      if (((W << s) >> 16 & mask) == magic) {
+        if (found < cap) out[found] = 8 * p + s;
+        found++;
+      }
+    }
+  }
+
+  // rolling 7-byte window w7 = bytes [p, p+7) MSB-first (56 bits) for the
+  // last ≤2 positions (and all of a tiny input)
+  int64_t p0 = fast_p_end + 1;
+  if (p0 < 0) p0 = 0;
   uint64_t w7 = 0;
-  for (int i = 0; i < 6 && i < nbytes; i++) w7 = (w7 << 8) | data[i];
+  for (int i = 0; i < 6; i++) w7 = (w7 << 8) | data[p0 + i];
   w7 <<= 8;  // placeholder for byte p+6, filled in the loop
-  for (int64_t p = 0; p + 6 <= nbytes; p++) {
+  for (int64_t p = p0; p + 6 <= nbytes; p++) {
     int smax;
     if (p + 7 <= nbytes) {
       w7 = (w7 & ~0xFFull) | data[p + 6];
