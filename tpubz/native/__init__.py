@@ -233,12 +233,7 @@ def find_magic_native(data: np.ndarray, magic: int):
         cap *= 8
 
 
-def find_magic2_native(data: np.ndarray, magic1: int, magic2: int):
-    """Bit offsets of two 48-bit magics in ONE pass over the data. Returns
-    (offsets1, offsets2) int64 arrays, or None if the lib is unavailable."""
-    lib = get_lib()
-    if lib is None:
-        return None
+def _find_magic2_range(lib, data: np.ndarray, magic1: int, magic2: int):
     cap = max(1024, data.size // 1000)
     while True:
         out1 = np.zeros(cap, dtype=np.int64)
@@ -253,6 +248,43 @@ def find_magic2_native(data: np.ndarray, magic1: int, magic2: int):
         if n1[0] <= cap and n2[0] <= cap:
             return out1[: int(n1[0])], out2[: int(n2[0])]
         cap *= 8
+
+
+_CHUNK = 1 << 21  # 2 MB per scan chunk
+
+
+def find_magic2_native(data: np.ndarray, magic1: int, magic2: int):
+    """Bit offsets of two 48-bit magics in ONE pass over the data. Returns
+    (offsets1, offsets2) int64 arrays, or None if the lib is unavailable.
+
+    Large inputs scan chunk-parallel (the native scan releases the GIL):
+    each chunk covers bytes [s, e) plus a 7-byte overlap so windows that
+    straddle the boundary are attributed to the LEFT chunk, and per-chunk
+    hits are filtered to byte positions < e - s before offsetting — hit
+    lists concatenate in ascending order with no duplicates."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = data.size
+    if n <= _CHUNK + (_CHUNK >> 2):
+        return _find_magic2_range(lib, data, magic1, magic2)
+    from concurrent.futures import ThreadPoolExecutor
+
+    starts = list(range(0, n, _CHUNK))
+
+    def one(s):
+        e = min(s + _CHUNK, n)
+        sl = data[s : min(e + 7, n)]
+        h1, h2 = _find_magic2_range(lib, sl, magic1, magic2)
+        lim = 8 * (e - s)
+        return (h1[h1 < lim] + 8 * s, h2[h2 < lim] + 8 * s)
+
+    with ThreadPoolExecutor(min(8, len(starts))) as ex:
+        parts = list(ex.map(one, starts))
+    return (
+        np.concatenate([p[0] for p in parts]),
+        np.concatenate([p[1] for p in parts]),
+    )
 
 
 def decode_block_native(data: np.ndarray, start_bit: int, level: int):
