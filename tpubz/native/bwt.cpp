@@ -34,6 +34,9 @@
 #include <cstring>
 #include <vector>
 #include <algorithm>
+#ifdef __AVX2__
+#include <immintrin.h>
+#endif
 
 namespace {
 
@@ -294,7 +297,9 @@ extern "C" int64_t tpubz_mtf_rle2(const uint8_t* last, int64_t n,
   std::memset(freqs, 0, 258 * sizeof(uint32_t));
   std::memset(used, 0, 256);
   for (int64_t i = 0; i < n; ++i) used[last[i]] = 1;
-  uint8_t mtf[256];
+  uint8_t mtf[264];  // 8 spare bytes so the widest 32-lane search load
+                     // (offset 232) stays in bounds; lanes past 255 sit
+                     // after the guaranteed hit and can never match first
   int32_t na = 0;
   for (int32_t c = 0; c < 256; ++c)
     if (used[c]) mtf[na++] = (uint8_t)c;
@@ -342,18 +347,45 @@ extern "C" int64_t tpubz_mtf_rle2(const uint8_t* last, int64_t n,
     }
     if (zeros) flush_zeros();
     {
-      // rank = position in the list: SWAR find-zero-byte on mtf ^ b
-      uint64_t pat = (uint64_t)b * ONES;
-      int32_t r = 0;
-      for (int32_t off = 0;; off += 8) {
-        uint64_t w;
-        std::memcpy(&w, mtf + off, 8);
-        uint64_t x = w ^ pat;
-        uint64_t m = (x - ONES) & ~x & HIGH;
-        if (m) {
-          r = off + (int32_t)(__builtin_ctzll(m) >> 3);
-          break;
+      // rank = position in the list: find-byte over the 256-byte list.
+      // First 8 entries via one SWAR word (most ranks are tiny — MTF
+      // locality), then 32-lane AVX2 sweeps for the high-entropy tail.
+      int32_t r;
+      uint64_t w0;
+      std::memcpy(&w0, mtf, 8);
+      uint64_t x0 = w0 ^ ((uint64_t)b * ONES);
+      uint64_t m0 = (x0 - ONES) & ~x0 & HIGH;
+      if (m0) {
+        r = (int32_t)(__builtin_ctzll(m0) >> 3);
+      } else {
+#ifdef __AVX2__
+        const __m256i vb = _mm256_set1_epi8((char)b);
+        for (int32_t off = 8;; off += 32) {
+          // the list is 256 bytes; off 8..232 reads stay in bounds via the
+          // 264-byte backing array (tail lanes beyond 256 never match
+          // before the guaranteed hit)
+          __m256i v = _mm256_loadu_si256((const __m256i*)(mtf + off));
+          uint32_t mm = (uint32_t)_mm256_movemask_epi8(
+              _mm256_cmpeq_epi8(v, vb));
+          if (mm) {
+            r = off + (int32_t)__builtin_ctz(mm);
+            break;
+          }
         }
+#else
+        uint64_t pat = (uint64_t)b * ONES;
+        r = 0;
+        for (int32_t off = 8;; off += 8) {
+          uint64_t w;
+          std::memcpy(&w, mtf + off, 8);
+          uint64_t x = w ^ pat;
+          uint64_t m = (x - ONES) & ~x & HIGH;
+          if (m) {
+            r = off + (int32_t)(__builtin_ctzll(m) >> 3);
+            break;
+          }
+        }
+#endif
       }
       if (r < 8) {
         // in-register shift of the head word: bytes 1..r get old 0..r-1
