@@ -583,6 +583,16 @@ class DeviceBlockEncoder:
         pad[: rle1_block.size] = rle1_block
         return _transform(jnp.asarray(pad), jnp.int32(rle1_block.size), lean)
 
+    def transform_bwt(self, rle1_block: np.ndarray):
+        """BWT-only device dispatch (the suffix sort is the one stage the
+        chip beats the host at; MTF/RLE2 run natively on the fetched last
+        column — see stream/api.py's bwt-route). Returns (key_dev,
+        last_dev, n)."""
+        pad = np.zeros(self.N, np.uint8)
+        pad[: rle1_block.size] = rle1_block
+        key_d, last_d = _stage_bwt(jnp.asarray(pad), jnp.int32(rle1_block.size))
+        return key_d, last_d, rle1_block.size
+
     def encode_block(self, rle1_block: np.ndarray, crc: int) -> BitAccum:
         key, syms, rle2_len, freqs, used = materialize(
             self.transform(rle1_block, lean=True)

@@ -351,6 +351,27 @@ def bwt_native(block: np.ndarray):
     return int(key[0]), last[: arr.size]
 
 
+def mtf_rle2_native(last: np.ndarray):
+    """MTF + RLE2 over a BWT last column in one GIL-free native call.
+    Returns (rle2 uint16, freqs uint32[258], used bool[256]) or None —
+    the host half of the bwt-only device route (the device does the suffix
+    sort, the host does the serial per-symbol scan it is better at)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    arr = np.ascontiguousarray(last, dtype=np.uint8)
+    out = np.empty(arr.size + 8, dtype=np.uint16)
+    freqs = np.zeros(258, dtype=np.uint32)
+    used = np.zeros(256, dtype=np.uint8)
+    rl = lib.tpubz_mtf_rle2(
+        arr.ctypes.data, arr.size, out.ctypes.data, freqs.ctypes.data,
+        used.ctypes.data,
+    )
+    if rl < 0:
+        return None
+    return out[:rl], freqs, used.astype(bool)
+
+
 def block_transform_native(block: np.ndarray):
     """Fused BWT + MTF + RLE2 in one GIL-free native call. Returns
     (key, rle2 uint16, freqs uint32[258], used bool[256]) or None —

@@ -40,6 +40,16 @@ WINDOW = int(os.environ.get("TPUBZ_WINDOW", "16"))
 # set TPUBZ_DEVICE_REFINE=1 on locally-attached chips where launch/RTT
 # overhead is microseconds and only packed bits should cross the link.
 DEVICE_REFINE = os.environ.get("TPUBZ_DEVICE_REFINE", "0") != "0"
+# which stages run on device per block: "full" = bwt+mtf+rle2 (3-launch
+# lean chain), "bwt" = suffix sort only with native host MTF/RLE2 on the
+# fetched last column. The chip's edge over the host is exactly the sort
+# (bwt-only pipelines at ~33 ms/block vs ~61 full-chain on the relay rig),
+# and host MTF costs ~17 ms vs ~95 ms for a whole CPU-engine block, so the
+# bwt route is the better core-per-block deal whenever host cores are the
+# contended resource (they are, with the hybrid steal on).
+DEVICE_STAGE = os.environ.get("TPUBZ_DEVICE_STAGE", "bwt")
+if DEVICE_REFINE:
+    DEVICE_STAGE = "full"  # device refine consumes the on-device symbols
 EMIT_THREADS = int(
     os.environ.get("TPUBZ_EMIT_THREADS", "6" if DEVICE_REFINE else "3")
 )
@@ -257,6 +267,30 @@ def _device_block_results(enc, arr, out, blocks):
         vals, bits = blk.arrays()
         return crc, vals, bits
 
+    def _materialize_bwt(bfut):
+        import jax
+
+        key_d, last_d, n = bfut
+        key, last = jax.device_get((key_d, last_d))
+        return int(key), np.asarray(last)[:n]
+
+    def emit_bwt(fetch_fut, i0, i1):
+        from ..native import mtf_rle2_native
+
+        key, last = fetch_fut.result()
+        crc = block_crc(arr[i0:i1])
+        res = mtf_rle2_native(last)
+        if res is None:  # no native lib: numpy mirror
+            from ..hostref.mtf_rle2 import mtf_rle2_encode
+
+            res = mtf_rle2_encode(last)
+        rle2, freqs, used = res
+        blk = DeviceBlockEncoder.emit_block(
+            key, rle2, rle2.size, freqs, used, crc
+        )
+        vals, bits = blk.arrays()
+        return crc, vals, bits
+
     import threading
     import time
 
@@ -311,6 +345,11 @@ def _device_block_results(enc, arr, out, blocks):
         dev_done.append(time.time())
         return r
 
+    def emit_bwt_timed(fetch_fut, i0, i1):
+        r = emit_bwt(fetch_fut, i0, i1)
+        dev_done.append(time.time())
+        return r
+
     def steal_ok(remaining: int) -> bool:
         if not cpu_ema[0]:
             return True  # probe
@@ -320,6 +359,15 @@ def _device_block_results(enc, arr, out, blocks):
             cadence = 0.1  # no device sample yet: assume a healthy pipeline
         return cpu_ema[0] < cadence * max(1, remaining)
 
+    # bwt-only routing needs the split-chain stamp (the bwt stage is AOT
+    # warmed as part of it); a cold cache falls back to the full transform,
+    # which carries its own compile-safe fallbacks
+    stage = DEVICE_STAGE
+    if stage == "bwt":
+        from ..block.encode import _probe_split_lean
+
+        if not _probe_split_lean():
+            stage = "full"
     try:
         n_total = len(blocks)
         for idx, (o0, o1, i0, i1) in enumerate(blocks):
@@ -333,13 +381,24 @@ def _device_block_results(enc, arr, out, blocks):
                 if len(inflight) >= WINDOW:
                     yield inflight.popleft().result()
                 continue
-            # host-refine never reads freqs/hist on device: lean graph
-            fut = enc.transform(out[o0:o1], lean=not DEVICE_REFINE)
-            if DEVICE_REFINE:
+            if stage == "bwt":
+                # bwt-only route: the chip runs just the suffix sort (the
+                # stage it beats the host at, ~33 vs ~61 ms/block pipelined
+                # for the full chain) and the host's native engine runs
+                # MTF/RLE2 on the fetched last column
+                bfut = enc.transform_bwt(out[o0:o1])
+                fetch_fut = fetch_pool.submit(_materialize_bwt, bfut)
+                inflight.append(
+                    emit_pool.submit(emit_bwt_timed, fetch_fut, i0, i1)
+                )
+            elif DEVICE_REFINE:
+                fut = enc.transform(out[o0:o1], lean=False)
                 inflight.append(
                     emit_pool.submit(emit_devrefine_timed, fut, i0, i1)
                 )
             else:
+                # host-refine never reads freqs/hist on device: lean graph
+                fut = enc.transform(out[o0:o1], lean=True)
                 fetch_fut = fetch_pool.submit(materialize, fut)
                 inflight.append(emit_pool.submit(emit_timed, fetch_fut, i0, i1))
             # queue-depth observability, mirroring the reference's RX queue
