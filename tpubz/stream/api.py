@@ -32,6 +32,10 @@ from ..hostref.bitio import BitAccum
 from ..hostref.rle1 import rle1_blocks
 
 WINDOW = int(os.environ.get("TPUBZ_WINDOW", "16"))
+# engine-speed estimates shared across compress() calls (a warm-up stream
+# trains the hybrid scheduler for the whole process); see device_ok/steal_ok
+_cpu_ema_g = [0.0]
+_dev_done_g: deque = deque(maxlen=8)
 # device-refine path: refinement argmin/rfreq + payload packing on device,
 # only sidecars + packed bits cross the link (VERDICT r1 items 1-2). Its
 # per-pass link round trips are latency-bound on the relay rig, where the
@@ -314,14 +318,19 @@ def _device_block_results(enc, arr, out, blocks):
             cpu_slots = threading.Semaphore(hybrid_n)
     host_enc = _HostFallbackEncoder(enc.level)
 
-    # adaptive steal guard: this host's CPU allotment is bursty (measured
-    # 10-20x swings), so a CPU worker that was profitable one minute can be
-    # a liability the next. Steal one probe block, then steal only while
-    # the CPU's EMA block time beats the device's measured cadence times
-    # the remaining queue length — i.e. the stolen block will finish before
-    # the device would have gotten to it anyway.
-    cpu_ema = [0.0]  # 0 = no sample yet
-    dev_done: deque = deque(maxlen=8)  # completion timestamps
+    # Symmetric adaptive arbitration. Both engines' speeds swing on this
+    # class of host (bursty CPU allotment; relay/chip phases swing ~2-3x),
+    # so per-block routing compares live estimates that PERSIST across
+    # compress() calls (module-level _cpu_ema_g / _dev_done_g — a warm-up
+    # pass trains them for the whole process):
+    #   device_ok: dispatch to the chip only if it would clear its queue
+    #     plus this block before the CPU pool would reach the end of the
+    #     remaining queue anyway (a slow chip's tail block otherwise
+    #     dominates short streams: measured 28.5 -> 16.2 MB/s from three
+    #     force-fed device blocks in a slow relay phase);
+    #   steal_ok: mirror guard for a throttled CPU worker.
+    dev_inflight = [0]  # blocks dispatched to the device, not yet emitted
+    eff_cores = min(hybrid_n or 1, os.cpu_count() or 4)
 
     def cpu_one(o0, o1, i0, i1):
         t0 = time.time()
@@ -332,32 +341,54 @@ def _device_block_results(enc, arr, out, blocks):
             return crc, vals, bits
         finally:
             dt = time.time() - t0
-            cpu_ema[0] = dt if not cpu_ema[0] else 0.5 * cpu_ema[0] + 0.5 * dt
+            _cpu_ema_g[0] = (
+                dt if not _cpu_ema_g[0] else 0.5 * _cpu_ema_g[0] + 0.5 * dt
+            )
             cpu_slots.release()
+
+    def _dev_done_mark():
+        _dev_done_g.append(time.time())
+        dev_inflight[0] -= 1
 
     def emit_timed(fetch_fut, i0, i1):
         r = emit(fetch_fut, i0, i1)
-        dev_done.append(time.time())
+        _dev_done_mark()
         return r
 
     def emit_devrefine_timed(trans_out, i0, i1):
         r = emit_devrefine(trans_out, i0, i1)
-        dev_done.append(time.time())
+        _dev_done_mark()
         return r
 
     def emit_bwt_timed(fetch_fut, i0, i1):
         r = emit_bwt(fetch_fut, i0, i1)
-        dev_done.append(time.time())
+        _dev_done_mark()
         return r
 
+    def dev_cadence():
+        """Median gap between recent device completions, ignoring idle gaps
+        (>1s: stream boundaries / device parked). None until 2 samples."""
+        ts = list(_dev_done_g)
+        ds = sorted(b - a for a, b in zip(ts, ts[1:]) if b - a < 1.0)
+        return ds[len(ds) // 2] if ds else None
+
+    def device_ok(remaining: int) -> bool:
+        cad = dev_cadence()
+        if cad is None:
+            return dev_inflight[0] < 1  # single probe trains the estimate
+        if cpu_pool is None:
+            return True
+        if not _cpu_ema_g[0]:
+            return dev_inflight[0] < 2
+        t_dev = cad * (dev_inflight[0] + 1)
+        t_cpu = remaining * _cpu_ema_g[0] / eff_cores
+        return t_dev < t_cpu
+
     def steal_ok(remaining: int) -> bool:
-        if not cpu_ema[0]:
+        if not _cpu_ema_g[0]:
             return True  # probe
-        if len(dev_done) >= 2:
-            cadence = (dev_done[-1] - dev_done[0]) / (len(dev_done) - 1)
-        else:
-            cadence = 0.1  # no device sample yet: assume a healthy pipeline
-        return cpu_ema[0] < cadence * max(1, remaining)
+        cad = dev_cadence() or 0.1  # no device sample: assume healthy
+        return _cpu_ema_g[0] < cad * max(1, remaining + dev_inflight[0])
 
     # bwt-only routing needs the split-chain stamp (the bwt stage is AOT
     # warmed as part of it); a cold cache falls back to the full transform,
@@ -368,42 +399,59 @@ def _device_block_results(enc, arr, out, blocks):
 
         if not _probe_split_lean():
             stage = "full"
+    def dispatch_device(o0, o1, i0, i1):
+        dev_inflight[0] += 1
+        if stage == "bwt":
+            # bwt-only route: the chip runs just the suffix sort (the
+            # stage it beats the host at, ~33 vs ~61 ms/block pipelined
+            # for the full chain) and the host's native engine runs
+            # MTF/RLE2 on the fetched last column
+            bfut = enc.transform_bwt(out[o0:o1])
+            fetch_fut = fetch_pool.submit(_materialize_bwt, bfut)
+            inflight.append(
+                emit_pool.submit(emit_bwt_timed, fetch_fut, i0, i1)
+            )
+        elif DEVICE_REFINE:
+            fut = enc.transform(out[o0:o1], lean=False)
+            inflight.append(
+                emit_pool.submit(emit_devrefine_timed, fut, i0, i1)
+            )
+        else:
+            # host-refine never reads freqs/hist on device: lean graph
+            fut = enc.transform(out[o0:o1], lean=True)
+            fetch_fut = fetch_pool.submit(materialize, fut)
+            inflight.append(emit_pool.submit(emit_timed, fetch_fut, i0, i1))
+        # queue-depth observability, mirroring the reference's RX queue
+        # logging (compress.rs:81-85)
+        log.debug("in-flight device blocks: %d", len(inflight))
+
     try:
         n_total = len(blocks)
         for idx, (o0, o1, i0, i1) in enumerate(blocks):
-            if (
+            # The device runs CONCURRENTLY with the CPU workers and (on the
+            # bwt route) costs only ~1/3 of a CPU block's host time, so it
+            # gets first refusal whenever its measured cadence says the
+            # block finishes before the CPU pool would reach the queue tail
+            # — and none at all when the relay phase is slow enough that a
+            # device block would BECOME the stream's tail.
+            if device_ok(n_total - idx):
+                dispatch_device(o0, o1, i0, i1)
+            elif (
                 cpu_pool is not None
                 and steal_ok(n_total - idx)
                 and cpu_slots.acquire(blocking=False)
             ):
                 inflight.append(cpu_pool.submit(cpu_one, o0, o1, i0, i1))
                 log.debug("in-flight blocks (cpu steal): %d", len(inflight))
-                if len(inflight) >= WINDOW:
-                    yield inflight.popleft().result()
-                continue
-            if stage == "bwt":
-                # bwt-only route: the chip runs just the suffix sort (the
-                # stage it beats the host at, ~33 vs ~61 ms/block pipelined
-                # for the full chain) and the host's native engine runs
-                # MTF/RLE2 on the fetched last column
-                bfut = enc.transform_bwt(out[o0:o1])
-                fetch_fut = fetch_pool.submit(_materialize_bwt, bfut)
-                inflight.append(
-                    emit_pool.submit(emit_bwt_timed, fetch_fut, i0, i1)
-                )
-            elif DEVICE_REFINE:
-                fut = enc.transform(out[o0:o1], lean=False)
-                inflight.append(
-                    emit_pool.submit(emit_devrefine_timed, fut, i0, i1)
-                )
+            elif cpu_pool is not None and cpu_slots.acquire(timeout=0.5):
+                # all slots busy: waiting for a CPU slot beats force-feeding
+                # an engine the estimates just rejected
+                inflight.append(cpu_pool.submit(cpu_one, o0, o1, i0, i1))
             else:
-                # host-refine never reads freqs/hist on device: lean graph
-                fut = enc.transform(out[o0:o1], lean=True)
-                fetch_fut = fetch_pool.submit(materialize, fut)
-                inflight.append(emit_pool.submit(emit_timed, fetch_fut, i0, i1))
-            # queue-depth observability, mirroring the reference's RX queue
-            # logging (compress.rs:81-85)
-            log.debug("in-flight device blocks: %d", len(inflight))
+                # no CPU pool (or it stayed saturated past the wait):
+                # overflow to the device; the ordered drain applies the
+                # remaining backpressure
+                dispatch_device(o0, o1, i0, i1)
             if len(inflight) >= WINDOW:
                 yield inflight.popleft().result()
         while inflight:
