@@ -155,22 +155,22 @@ def compress_multihost(data: bytes | np.ndarray, level: int = 9):
                     np.frombuffer(local_payloads[bi][0], np.uint8),
                     nbits,
                 )
-    acc = BitAccum()
+    from ..hostref.bitio import splice_byte_chunks
+
+    header = BitAccum()
     for b in STREAM_MAGIC:
-        acc.put(b, 8)
-    acc.put(0x30 + level, 8)
+        header.put(b, 8)
+    header.put(0x30 + level, 8)
+    chunks = [header.pack()]
     s_crc = 0
     for bi in range(nblocks):
         _, _, i0, i1 = blocks[bi]
         s_crc = stream_crc_fold(s_crc, block_crc(arr[i0:i1]))
         payload, nbits = per_block[bi]
-        full = nbits // 8
-        if full:
-            acc.extend(payload[:full].astype(np.uint32), np.full(full, 8, np.int64))
-        rem = nbits - full * 8
-        if rem:
-            acc.put(int(payload[full]) >> (8 - rem), rem)
-    acc.put(FOOTER_MAGIC, 48)
-    acc.put(s_crc, 32)
-    stream, _ = acc.pack()
+        chunks.append((np.ascontiguousarray(payload).tobytes(), nbits))
+    footer = BitAccum()
+    footer.put(FOOTER_MAGIC, 48)
+    footer.put(s_crc, 32)
+    chunks.append(footer.pack())
+    stream, _ = splice_byte_chunks(chunks)
     return stream

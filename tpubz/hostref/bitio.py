@@ -21,7 +21,11 @@ class BitAccum:
     """
 
     def __init__(self):
-        self._chunks: list[tuple[np.ndarray, np.ndarray]] = []
+        # tagged chunks: ("f", vals, bits) field runs, ("b", bytes, nbits)
+        # pre-packed byte runs (zero-padded to the byte). Byte runs pass
+        # through pack() verbatim via the vectorized splice instead of
+        # being decomposed into fields and re-packed bit by bit.
+        self._chunks: list[tuple] = []
         self._pend_vals: list[int] = []
         self._pend_bits: list[int] = []
         self._total = 0
@@ -48,6 +52,7 @@ class BitAccum:
         if self._pend_vals:
             self._chunks.append(
                 (
+                    "f",
                     np.asarray(self._pend_vals, dtype=np.uint32),
                     np.asarray(self._pend_bits, dtype=np.int64),
                 )
@@ -63,31 +68,34 @@ class BitAccum:
         if int(bits.max(initial=0)) > 24:
             raise ValueError("extend() fields must be <= 24 bits")
         self._flush_pending()
-        self._chunks.append((vals, bits))
+        self._chunks.append(("f", vals, bits))
         self._total += int(bits.sum())
 
     def put_words(self, words: np.ndarray, nbits: int) -> None:
         """Append `nbits` of pre-packed MSB-first uint32 words (e.g. a
-        device-packed payload): each word becomes two 16-bit fields, with
-        trailing fields trimmed to the exact bit length."""
+        device- or native-packed payload). Stored as a byte run: big-endian
+        byte order with the sub-byte pad zeroed, so pack() splices it
+        verbatim instead of re-packing word fields."""
         if nbits == 0:
             return
         nw = (nbits + 31) // 32
-        w = np.asarray(words[:nw], dtype=np.uint32)
-        vals = np.empty(nw * 2, np.uint32)
-        vals[0::2] = w >> 16
-        vals[1::2] = w & 0xFFFF
-        bits = np.full(nw * 2, 16, np.int64)
-        excess = nw * 32 - nbits
-        i = vals.size - 1
-        while excess > 0:
-            take = min(16, excess)
-            bits[i] -= take
-            vals[i] >>= take
-            excess -= take
-            i -= 1
+        w = np.ascontiguousarray(np.asarray(words[:nw], dtype=np.uint32))
+        pad = nw * 32 - nbits
+        if pad:
+            w = w.copy()
+            w[-1] &= np.uint32(0xFFFFFFFF) << np.uint32(pad)
         self._flush_pending()
-        self._chunks.append((vals, bits))
+        data = w.byteswap().tobytes() if w.dtype.byteorder in ("=", "<") else w.tobytes()
+        self._chunks.append(("b", data, nbits))
+        self._total += nbits
+
+    def put_bytes(self, data: bytes, nbits: int) -> None:
+        """Append `nbits` of pre-packed MSB-first bytes (pad bits beyond
+        nbits in the final byte MUST be zero)."""
+        if nbits == 0:
+            return
+        self._flush_pending()
+        self._chunks.append(("b", data, nbits))
         self._total += nbits
 
     @property
@@ -95,18 +103,57 @@ class BitAccum:
         return self._total
 
     def arrays(self) -> tuple[np.ndarray, np.ndarray]:
+        """Field-stream view (oracle/mirror consumers): byte runs decompose
+        into 8-bit fields with a sub-byte tail."""
         self._flush_pending()
         if not self._chunks:
             return np.zeros(0, np.uint32), np.zeros(0, np.int64)
-        return (
-            np.concatenate([c[0] for c in self._chunks]),
-            np.concatenate([c[1] for c in self._chunks]),
-        )
+        vs, bs = [], []
+        for c in self._chunks:
+            if c[0] == "f":
+                vs.append(c[1])
+                bs.append(c[2])
+            else:
+                _, data, nbits = c
+                arr = np.frombuffer(data, np.uint8)[: (nbits + 7) // 8]
+                full = nbits // 8
+                vs.append(arr[:full].astype(np.uint32))
+                bs.append(np.full(full, 8, np.int64))
+                rem = nbits - full * 8
+                if rem:
+                    vs.append(
+                        np.array([int(arr[full]) >> (8 - rem)], np.uint32)
+                    )
+                    bs.append(np.array([rem], np.int64))
+        return np.concatenate(vs), np.concatenate(bs)
 
     def pack(self) -> tuple[bytes, int]:
-        """Returns (bytes zero-padded to a whole byte, exact bit length)."""
-        vals, bits = self.arrays()
-        return pack_bits(vals, bits), self._total
+        """Returns (bytes zero-padded to a whole byte, exact bit length).
+        Field runs pack natively; byte runs splice through untouched."""
+        self._flush_pending()
+        pieces: list[tuple[bytes, int]] = []
+        fv: list[np.ndarray] = []
+        fb: list[np.ndarray] = []
+
+        def flush_fields():
+            if fv:
+                v = np.concatenate(fv) if len(fv) > 1 else fv[0]
+                b = np.concatenate(fb) if len(fb) > 1 else fb[0]
+                pieces.append((pack_bits(v, b), int(b.sum())))
+                fv.clear()
+                fb.clear()
+
+        for c in self._chunks:
+            if c[0] == "f":
+                fv.append(c[1])
+                fb.append(c[2])
+            else:
+                flush_fields()
+                pieces.append((c[1], c[2]))
+        flush_fields()
+        data, total = splice_byte_chunks(pieces)
+        assert total == self._total
+        return data, self._total
 
 
 def pack_bits(vals: np.ndarray, bits: np.ndarray) -> bytes:
@@ -148,24 +195,38 @@ def pack_bits(vals: np.ndarray, bits: np.ndarray) -> bytes:
     return out[:nbytes].tobytes()
 
 
-def splice_bit_chunks(chunks: list[tuple[bytes, int]]) -> tuple[bytes, int]:
-    """Concatenate byte-padded bit chunks at bit granularity.
+def splice_byte_chunks(chunks: list[tuple[bytes, int]]) -> tuple[bytes, int]:
+    """Concatenate byte-padded bit chunks at bit granularity, vectorized:
+    each chunk ORs into the output shifted right by (offset % 8) — three
+    numpy passes over the chunk instead of one field per byte.
 
-    chunks: [(payload_bytes, exact_bit_len), ...]. Used by the stream
-    assembler to join independently packed blocks (reference
-    src/bitstream/bitwriter.rs:94-100 does the same by backing its queue up
-    by the padding bit count).
-    """
-    acc = BitAccum()
+    chunks: [(payload_bytes, exact_bit_len), ...]; pad bits beyond the bit
+    length in each chunk's final byte MUST be zero (BitAccum.pack and the
+    native packer guarantee this). Used by the stream assembler to join
+    independently packed blocks (reference src/bitstream/bitwriter.rs:94-100
+    does the same by backing its queue up by the padding bit count)."""
+    total = sum(n for _, n in chunks)
+    out = np.zeros((total + 7) // 8 + 1, np.uint8)  # +1: lo-spill slack
+    off = 0
     for payload, nbits in chunks:
-        arr = np.frombuffer(payload, dtype=np.uint8)
-        full = nbits // 8
-        if full:
-            acc.extend(arr[:full].astype(np.uint32), np.full(full, 8, np.int64))
-        rem = nbits - full * 8
-        if rem:
-            acc.put(int(arr[full]) >> (8 - rem), rem)
-    return acc.pack()
+        if nbits == 0:
+            continue
+        nb = (nbits + 7) // 8
+        arr = np.frombuffer(payload, np.uint8)[:nb]
+        base = off >> 3
+        s = off & 7
+        if s == 0:
+            out[base : base + nb] |= arr
+        else:
+            out[base : base + nb] |= arr >> s
+            out[base + 1 : base + 1 + nb] |= arr << (8 - s)  # uint8 truncates
+        off += nbits
+    return out[: (total + 7) // 8].tobytes(), total
+
+
+def splice_bit_chunks(chunks: list[tuple[bytes, int]]) -> tuple[bytes, int]:
+    """Back-compat alias of splice_byte_chunks (same contract)."""
+    return splice_byte_chunks(chunks)
 
 
 class BitReader:

@@ -28,7 +28,7 @@ log = logging.getLogger("tpubz")
 
 from ..format.constants import FOOTER_MAGIC, STREAM_MAGIC, block_budget
 from ..format.crc import block_crc, stream_crc_fold
-from ..hostref.bitio import BitAccum
+from ..hostref.bitio import BitAccum, splice_byte_chunks
 from ..hostref.rle1 import rle1_blocks
 
 WINDOW = int(os.environ.get("TPUBZ_WINDOW", "16"))
@@ -153,23 +153,26 @@ def _compress_impl(
     )
     enc = _HostFallbackEncoder(level) if force_host else _encoder(level)
 
-    acc = BitAccum()
+    header = BitAccum()
     for b in STREAM_MAGIC:
-        acc.put(b, 8)
-    acc.put(0x30 + level, 8)
+        header.put(b, 8)
+    header.put(0x30 + level, 8)
+    chunks = [header.pack()]
     out, blocks = rle1_blocks(arr, block_budget(level))
     s_crc = 0
-    if isinstance(enc, _HostFallbackEncoder):
-        for crc, vals, bits in _host_block_results(enc, arr, out, blocks):
-            s_crc = stream_crc_fold(s_crc, crc)
-            acc.extend(vals, bits)
-    else:
-        for crc, vals, bits in _device_block_results(enc, arr, out, blocks):
-            s_crc = stream_crc_fold(s_crc, crc)
-            acc.extend(vals, bits)
-    acc.put(FOOTER_MAGIC, 48)
-    acc.put(s_crc, 32)
-    payload, _ = acc.pack()
+    gen = (
+        _host_block_results
+        if isinstance(enc, _HostFallbackEncoder)
+        else _device_block_results
+    )
+    for crc, data_b, nbits in gen(enc, arr, out, blocks):
+        s_crc = stream_crc_fold(s_crc, crc)
+        chunks.append((data_b, nbits))
+    footer = BitAccum()
+    footer.put(FOOTER_MAGIC, 48)
+    footer.put(s_crc, 32)
+    chunks.append(footer.pack())
+    payload, _ = splice_byte_chunks(chunks)
     return payload
 
 
@@ -177,8 +180,8 @@ def _host_block_results(enc, arr, out, blocks):
     """CPU-engine pipeline: per-block transform + refinement + emission on a
     thread pool (the heavy stages are GIL-free native calls — the rayon-pool
     analogue of reference compress.rs:125-132), with an ordered sliding
-    window bounding in-flight memory. Yields (crc, vals, bits) in block
-    order."""
+    window bounding in-flight memory. Yields (crc, packed_bytes, nbits) in
+    block order (each block packs in its worker thread)."""
     from concurrent.futures import ThreadPoolExecutor
 
     # default 3x the core count: the native transform is cache/memory-bound,
@@ -199,8 +202,8 @@ def _host_block_results(enc, arr, out, blocks):
     def one(o0, o1, i0, i1):
         crc = block_crc(arr[i0:i1])
         blk = enc.encode_block(out[o0:o1], crc)
-        vals, bits = blk.arrays()
-        return crc, vals, bits
+        data, nbits = blk.pack()
+        return crc, data, nbits
 
     if workers == 1 or len(blocks) <= 1:
         for b in blocks:
@@ -220,7 +223,7 @@ def _host_block_results(enc, arr, out, blocks):
 
 
 def _device_block_results(enc, arr, out, blocks):
-    """Run blocks through the device pipeline; yield (crc, vals, bits) in
+    """Run blocks through the device pipeline; yield (crc, packed_bytes, nbits) in
     block order while later blocks are still in flight.
 
     Hybrid scheduling: the device pipeline is link/chip-bound while most
@@ -262,14 +265,14 @@ def _device_block_results(enc, arr, out, blocks):
         key, syms, rle2_len, freqs, used = fetch_fut.result()
         crc = block_crc(arr[i0:i1])
         blk = DeviceBlockEncoder.emit_block(key, syms, rle2_len, freqs, used, crc)
-        vals, bits = blk.arrays()
-        return crc, vals, bits
+        data, nbits = blk.pack()
+        return crc, data, nbits
 
     def emit_devrefine(trans_out, i0, i1):
         crc = block_crc(arr[i0:i1])
         blk = enc.encode_block_devrefine(trans_out, crc)
-        vals, bits = blk.arrays()
-        return crc, vals, bits
+        data, nbits = blk.pack()
+        return crc, data, nbits
 
     def _materialize_bwt(bfut):
         import jax
@@ -292,8 +295,8 @@ def _device_block_results(enc, arr, out, blocks):
         blk = DeviceBlockEncoder.emit_block(
             key, rle2, rle2.size, freqs, used, crc
         )
-        vals, bits = blk.arrays()
-        return crc, vals, bits
+        data, nbits = blk.pack()
+        return crc, data, nbits
 
     import threading
     import time
@@ -337,8 +340,8 @@ def _device_block_results(enc, arr, out, blocks):
         try:
             crc = block_crc(arr[i0:i1])
             blk = host_enc.encode_block(out[o0:o1], crc)
-            vals, bits = blk.arrays()
-            return crc, vals, bits
+            data, nbits = blk.pack()
+            return crc, data, nbits
         finally:
             dt = time.time() - t0
             _cpu_ema_g[0] = (
@@ -482,8 +485,8 @@ def _hostref_block_results_batched(enc, arr, out, blocks):
         key, syms, rle2_len, freqs, used = mats[j]
         crc = block_crc(arr[i0:i1])
         blk = DeviceBlockEncoder.emit_block(key, syms, rle2_len, freqs, used, crc)
-        vals, bits = blk.arrays()
-        return crc, vals, bits
+        data, nbits = blk.pack()
+        return crc, data, nbits
 
     inflight: deque = deque()
     try:
@@ -532,7 +535,7 @@ def _device_block_results_batched(enc, arr, out, blocks):
         tr = enc.transform_batch([out[o0:o1] for (o0, o1, _, _) in batch])
         accs = enc.encode_batch_devrefine(tr, crcs)
         return [
-            (crc, *acc.arrays()) for crc, acc in zip(crcs, accs)
+            (crc, *acc.pack()) for crc, acc in zip(crcs, accs)
         ]
 
     inflight: deque = deque()

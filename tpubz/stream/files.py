@@ -33,16 +33,31 @@ class _BitSink:
 
     def write_fields(self, vals: np.ndarray, bits: np.ndarray) -> None:
         acc = BitAccum()
-        if self._rem_bits:
-            acc.put(self._rem_val, self._rem_bits)
         acc.extend(np.asarray(vals, np.uint32), np.asarray(bits, np.int64))
-        payload, nbits = acc.pack()
-        self.total_bits += int(bits.sum())
-        full = nbits // 8
-        rem = nbits - full * 8
-        data = np.frombuffer(payload, np.uint8)
-        self.fout.write(data[:full].tobytes())
-        self._rem_val = (int(data[full]) >> (8 - rem)) if rem else 0
+        self.write_chunk(*acc.pack())
+
+    def write_chunk(self, data: bytes, nbits: int) -> None:
+        """Write a byte-padded bit chunk (pad bits must be zero), carrying
+        the sub-byte remainder between calls — blocks arrive pre-packed
+        from the worker threads and splice here at byte speed."""
+        from ..hostref.bitio import splice_byte_chunks
+
+        pieces = []
+        if self._rem_bits:
+            pieces.append(
+                (
+                    bytes([(self._rem_val << (8 - self._rem_bits)) & 0xFF]),
+                    self._rem_bits,
+                )
+            )
+        pieces.append((data, nbits))
+        payload, total = splice_byte_chunks(pieces)
+        self.total_bits += nbits
+        full = total // 8
+        rem = total - full * 8
+        arr = np.frombuffer(payload, np.uint8)
+        self.fout.write(arr[:full].tobytes())
+        self._rem_val = (int(arr[full]) >> (8 - rem)) if rem else 0
         self._rem_bits = rem
 
     def close(self) -> None:
@@ -100,14 +115,14 @@ def compress_stream(fin: io.RawIOBase, fout: io.RawIOBase, level: int = 9) -> in
         if isinstance(enc, _HostFallbackEncoder):
             from .api import _host_block_results
 
-            for crc, vals, bits in _host_block_results(enc, data, out, keep):
+            for crc, blk_bytes, nbits in _host_block_results(enc, data, out, keep):
                 s_crc = stream_crc_fold(s_crc, crc)
-                sink.write_fields(vals, bits)
+                sink.write_chunk(blk_bytes, nbits)
                 wrote_block = True
         else:
-            for crc, vals, bits in _device_block_results(enc, data, out, keep):
+            for crc, blk_bytes, nbits in _device_block_results(enc, data, out, keep):
                 s_crc = stream_crc_fold(s_crc, crc)
-                sink.write_fields(vals, bits)
+                sink.write_chunk(blk_bytes, nbits)
                 wrote_block = True
     footer = BitAccum()
     footer.put(FOOTER_MAGIC, 48)
