@@ -35,7 +35,8 @@ os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
 import jax
 jax.config.update("jax_platforms", "cpu")
 pid = int(sys.argv[1])
-jax.distributed.initialize(sys.argv[2], num_processes=2, process_id=pid)
+nproc = int(sys.argv[4])
+jax.distributed.initialize(sys.argv[2], num_processes=nproc, process_id=pid)
 import numpy as np
 rng = np.random.default_rng(321)
 n = 260_000
@@ -51,22 +52,26 @@ if pid == 0:
 
 
 @pytest.mark.slow
-def test_multihost_two_processes(tmp_path):
+@pytest.mark.parametrize("nproc,port", [(2, 12411), (4, 12413)])
+def test_multihost_n_processes(tmp_path, nproc, port):
+    """Real multi-process jax.distributed runs: 2 hosts x 2 devices and
+    4 hosts x 2 devices (an 8-device global mesh), byte-identical to the
+    single-process oracle."""
     env = dict(os.environ)
     env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env.pop("PALLAS_AXON_POOL_IPS", None)
     script = tmp_path / "worker.py"
     script.write_text(WORKER)
-    coord = "localhost:12411"
+    coord = f"localhost:{port}"
     out_file = tmp_path / "out.bz2"
     procs = [
         subprocess.Popen(
-            [sys.executable, str(script), str(i), coord, str(out_file)],
+            [sys.executable, str(script), str(i), coord, str(out_file), str(nproc)],
             stdout=subprocess.DEVNULL,
             stderr=subprocess.PIPE,
             env=env,
         )
-        for i in range(2)
+        for i in range(nproc)
     ]
     outs = [p.communicate(timeout=240) for p in procs]
     for p, (o, e) in zip(procs, outs):
