@@ -85,8 +85,9 @@ class BitAccum:
             w = w.copy()
             w[-1] &= np.uint32(0xFFFFFFFF) << np.uint32(pad)
         self._flush_pending()
-        data = w.byteswap().tobytes() if w.dtype.byteorder in ("=", "<") else w.tobytes()
-        self._chunks.append(("b", data, nbits))
+        # astype('>u4') is endian-correct on any host (byteswap()-on-native
+        # would corrupt the words on a big-endian machine)
+        self._chunks.append(("b", w.astype(">u4").tobytes(), nbits))
         self._total += nbits
 
     def put_bytes(self, data: bytes, nbits: int) -> None:
@@ -201,8 +202,8 @@ def splice_byte_chunks(chunks: list[tuple[bytes, int]]) -> tuple[bytes, int]:
     numpy passes over the chunk instead of one field per byte.
 
     chunks: [(payload_bytes, exact_bit_len), ...]; pad bits beyond the bit
-    length in each chunk's final byte MUST be zero (BitAccum.pack and the
-    native packer guarantee this). Used by the stream assembler to join
+    length in each chunk's final byte are masked off (BitAccum.pack and the
+    native packer emit them zero already). Used by the stream assembler to join
     independently packed blocks (reference src/bitstream/bitwriter.rs:94-100
     does the same by backing its queue up by the padding bit count)."""
     total = sum(n for _, n in chunks)
@@ -213,6 +214,12 @@ def splice_byte_chunks(chunks: list[tuple[bytes, int]]) -> tuple[bytes, int]:
             continue
         nb = (nbits + 7) // 8
         arr = np.frombuffer(payload, np.uint8)[:nb]
+        rem = nbits & 7
+        if rem and (int(arr[nb - 1]) & (0xFF >> rem)):
+            # defensive: mask non-zero pad bits so they can't OR into the
+            # next chunk (zero-padded inputs — the common case — skip this)
+            arr = arr.copy()
+            arr[nb - 1] &= 0xFF << (8 - rem)
         base = off >> 3
         s = off & 7
         if s == 0:

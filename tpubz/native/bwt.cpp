@@ -38,6 +38,14 @@
 #include <immintrin.h>
 #endif
 
+// The SWAR fast paths (MTF head-word shift, ctz-based first-diff-byte) and
+// the decode-side word tricks assume little-endian byte order. Failing the
+// build here is graceful: tpubz/native/__init__.py falls back to the
+// endian-neutral numpy mirrors when the lib doesn't compile.
+#if defined(__BYTE_ORDER__) && __BYTE_ORDER__ != __ORDER_LITTLE_ENDIAN__
+#error "tpubz native engine assumes a little-endian host"
+#endif
+
 namespace {
 
 // SA-IS over a FUSED string sv[0..n): sv[i] = (value << 1) | stype, values

@@ -333,6 +333,7 @@ def _device_block_results(enc, arr, out, blocks):
     #     force-fed device blocks in a slow relay phase);
     #   steal_ok: mirror guard for a throttled CPU worker.
     dev_inflight = [0]  # blocks dispatched to the device, not yet emitted
+    dev_lock = threading.Lock()  # += / -= race between dispatch and emits
     eff_cores = min(hybrid_n or 1, os.cpu_count() or 4)
 
     def cpu_one(o0, o1, i0, i1):
@@ -351,7 +352,8 @@ def _device_block_results(enc, arr, out, blocks):
 
     def _dev_done_mark():
         _dev_done_g.append(time.time())
-        dev_inflight[0] -= 1
+        with dev_lock:
+            dev_inflight[0] -= 1
 
     def emit_timed(fetch_fut, i0, i1):
         r = emit(fetch_fut, i0, i1)
@@ -369,10 +371,13 @@ def _device_block_results(enc, arr, out, blocks):
         return r
 
     def dev_cadence():
-        """Median gap between recent device completions, ignoring idle gaps
-        (>1s: stream boundaries / device parked). None until 2 samples."""
+        """Median gap between recent device completions. Gaps up to 5s are
+        real samples — a glacial relay phase produces 1-3s blocks, exactly
+        the regime device_ok must see to stop feeding the chip; only longer
+        gaps (device parked between streams) are discarded. None until 2
+        samples survive."""
         ts = list(_dev_done_g)
-        ds = sorted(b - a for a, b in zip(ts, ts[1:]) if b - a < 1.0)
+        ds = sorted(b - a for a, b in zip(ts, ts[1:]) if b - a < 5.0)
         return ds[len(ds) // 2] if ds else None
 
     def device_ok(remaining: int) -> bool:
@@ -394,16 +399,21 @@ def _device_block_results(enc, arr, out, blocks):
         return _cpu_ema_g[0] < cad * max(1, remaining + dev_inflight[0])
 
     # bwt-only routing needs the split-chain stamp (the bwt stage is AOT
-    # warmed as part of it); a cold cache falls back to the full transform,
-    # which carries its own compile-safe fallbacks
+    # warmed as part of it) AND the native lib (host MTF/RLE2 on the
+    # fetched last column would otherwise fall back to the per-symbol
+    # pure-Python oracle — seconds per block); a cold cache or missing lib
+    # falls back to the full device transform, which carries its own
+    # compile-safe fallbacks
     stage = DEVICE_STAGE
     if stage == "bwt":
         from ..block.encode import _probe_split_lean
+        from ..native import get_lib
 
-        if not _probe_split_lean():
+        if not _probe_split_lean() or get_lib() is None:
             stage = "full"
     def dispatch_device(o0, o1, i0, i1):
-        dev_inflight[0] += 1
+        with dev_lock:
+            dev_inflight[0] += 1
         if stage == "bwt":
             # bwt-only route: the chip runs just the suffix sort (the
             # stage it beats the host at, ~33 vs ~61 ms/block pipelined
