@@ -258,7 +258,9 @@ def _device_block_results(enc, arr, out, blocks):
     # the GIL) so each block's transfer overlaps other blocks' work; the
     # emit pool runs CRC + native refinement (also GIL-free) + emission for
     # several blocks concurrently.
-    fetch_pool = ThreadPoolExecutor(2)
+    fetch_pool = ThreadPoolExecutor(
+        int(os.environ.get("TPUBZ_FETCH_THREADS", "4"))
+    )
     emit_pool = ThreadPoolExecutor(EMIT_THREADS)
 
     def emit(fetch_fut, i0, i1):
@@ -488,7 +490,9 @@ def _hostref_block_results_batched(enc, arr, out, blocks):
 
     BATCH = _batch_size()
     batches = [blocks[i : i + BATCH] for i in range(0, len(blocks), BATCH)]
-    fetch_pool = ThreadPoolExecutor(2)
+    fetch_pool = ThreadPoolExecutor(
+        int(os.environ.get("TPUBZ_FETCH_THREADS", "4"))
+    )
     emit_pool = ThreadPoolExecutor(max(EMIT_THREADS, 3))
 
     def emit_one(mats, j, i0, i1):
