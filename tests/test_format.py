@@ -76,3 +76,65 @@ def test_splice_bit_chunks():
     assert br.read(4) == 0b1011
     assert br.read(2) == 0b11
     assert br.read(8) == 0xAB
+
+
+def test_splice_byte_chunks_fuzz_vs_field_oracle(rng):
+    """Vectorized byte splice == field-by-field packing for random chunk
+    mixes at every sub-byte offset (incl. empty chunks and garbage pad bits,
+    which the splice must mask)."""
+    from tpubz.hostref.bitio import splice_byte_chunks
+
+    for _ in range(60):
+        nchunks = int(rng.integers(1, 8))
+        chunks = []
+        oracle = BitAccum()
+        for _ in range(nchunks):
+            nbits = int(rng.integers(0, 77))
+            acc = BitAccum()
+            left = nbits
+            while left:
+                take = min(int(rng.integers(1, 25)), left)
+                v = int(rng.integers(0, 1 << take))
+                acc.put(v, take)
+                oracle.put(v, take)
+                left -= take
+            data, n = acc.pack()
+            if n % 8 and rng.integers(0, 2):
+                # inject garbage into the pad bits: splice must mask it
+                ba = bytearray(data)
+                ba[-1] |= (1 << (8 - n % 8)) - 1
+                data = bytes(ba)
+            chunks.append((data, n))
+        got, total = splice_byte_chunks(chunks)
+        want, wtotal = oracle.pack()
+        assert total == wtotal and got == want
+
+
+def test_put_words_and_put_bytes_pack(rng):
+    """Byte-run chunks (put_words / put_bytes) splice through pack()
+    identically to the equivalent field puts, at arbitrary preceding bit
+    offsets and non-word-aligned bit lengths."""
+    for lead_bits in (0, 3, 8, 13):
+        for nbits in (1, 16, 31, 32, 33, 64, 95):
+            words = np.array([0xDEADBEEF, 0x0BADF00D, 0xC0FFEE11], np.uint32)
+            acc = BitAccum()
+            oracle = BitAccum()
+            if lead_bits:
+                acc.put(0b1010110101101 & ((1 << lead_bits) - 1), lead_bits)
+                oracle.put(0b1010110101101 & ((1 << lead_bits) - 1), lead_bits)
+            acc.put_words(words, nbits)
+            left = nbits
+            for w in words:
+                take = min(32, left)
+                if take <= 0:
+                    break
+                oracle.put(int(w) >> (32 - take), take)
+                left -= take
+            a, ta = acc.pack()
+            b, tb = oracle.pack()
+            assert (a, ta) == (b, tb), (lead_bits, nbits)
+            # arrays() view must agree with pack()
+            from tpubz.hostref.bitio import pack_bits
+
+            vals, bits = acc.arrays()
+            assert pack_bits(vals, bits) == a

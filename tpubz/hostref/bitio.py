@@ -219,7 +219,7 @@ def splice_byte_chunks(chunks: list[tuple[bytes, int]]) -> tuple[bytes, int]:
             # defensive: mask non-zero pad bits so they can't OR into the
             # next chunk (zero-padded inputs — the common case — skip this)
             arr = arr.copy()
-            arr[nb - 1] &= 0xFF << (8 - rem)
+            arr[nb - 1] &= (0xFF << (8 - rem)) & 0xFF
         base = off >> 3
         s = off & 7
         if s == 0:
