@@ -19,6 +19,16 @@ Layer map (tpu-first rebuild of the reference, see SURVEY.md):
 __version__ = "0.1.0"
 
 
+def open(filename, mode: str = "rb", compresslevel: int = 9,  # noqa: A001
+         encoding=None, errors=None, newline=None):
+    """Open a .bz2 file for incremental reading/writing — a drop-in for
+    the stdlib ``bz2.open`` (constant memory; device/hybrid engines under
+    the hood). See tpubz/fileobj.py."""
+    from .fileobj import open as _open
+
+    return _open(filename, mode, compresslevel, encoding, errors, newline)
+
+
 def compress(data, level: int = 9) -> bytes:
     try:
         from .stream.api import compress as _c
