@@ -48,11 +48,35 @@
 
 namespace {
 
+// Grow-only per-thread bump arena for the SA-IS per-level scratch (cnt,
+// bkt, lms, name, sa1, sv1). Sized once before the recursion (total need
+// is < 6n+O(1) ints — each level allocates <= 2K + 2*n_l + 1 ints and
+// n_l <= n/2^l), so pointers stay stable across nested alloc calls.
+// Memory is handed out DIRTY: every consumer below either writes each
+// slot before reading it or zeroes explicitly — this removes ~4-6 MB of
+// per-block fill traffic (the old std::vector zero/-1 inits) plus the
+// alloc/free churn of the recursion.
+struct Arena {
+  std::vector<int32_t> buf;
+  size_t top = 0;
+  void prepare(size_t total) {
+    if (buf.size() < total) buf.resize(total);
+    top = 0;
+  }
+  int32_t* alloc(size_t k) {
+    int32_t* p = buf.data() + top;
+    top += k;
+    return p;
+  }
+  void release(size_t k) { top -= k; }
+};
+
 // SA-IS over a FUSED string sv[0..n): sv[i] = (value << 1) | stype, values
 // in [0, K); position n-1 must hold the unique smallest value (sentinel,
 // S-type by convention => sv[n-1] == 1). Fills sa[0..n).
 template <typename FusedT>
-void sais_fused(const FusedT* sv, int32_t* sa, int32_t n, int32_t K) {
+void sais_fused(const FusedT* sv, int32_t* sa, int32_t n, int32_t K,
+                Arena& ar) {
   if (n == 1) {
     sa[0] = 0;
     return;
@@ -61,7 +85,10 @@ void sais_fused(const FusedT* sv, int32_t* sa, int32_t n, int32_t K) {
     return i > 0 && (sv[i] & 1) && !(sv[i - 1] & 1);
   };
 
-  std::vector<int32_t> cnt(K, 0), bkt(K);
+  size_t ar_mark = ar.top;
+  int32_t* cnt = ar.alloc(K);
+  int32_t* bkt = ar.alloc(K);  // fully written by bkt_heads/tails
+  std::memset(cnt, 0, (size_t)K * sizeof(int32_t));
   for (int32_t i = 0; i < n; ++i) cnt[sv[i] >> 1]++;
   auto bkt_tails = [&]() {
     int32_t sum = 0;
@@ -111,21 +138,29 @@ void sais_fused(const FusedT* sv, int32_t* sa, int32_t n, int32_t K) {
   };
 
   // pass 1: LMS suffixes at bucket tails (any order), induce to sort the
-  // LMS *substrings*
+  // LMS *substrings*; the same right-to-left scan collects the LMS
+  // positions (filled from the end so `lms` ends up in ascending index
+  // order without a second pass over sv)
   std::fill(sa, sa + n, -1);
   bkt_tails();
+  int32_t lms_cap = n / 2 + 1;
+  int32_t* lms_buf = ar.alloc(lms_cap);
+  int32_t lms_idx = lms_cap;
   for (int32_t i = n - 1; i >= 0; --i)
-    if (is_lms(i)) sa[--bkt[sv[i] >> 1]] = i;
+    if (is_lms(i)) {
+      sa[--bkt[sv[i] >> 1]] = i;
+      lms_buf[--lms_idx] = i;
+    }
+  const int32_t* lms = lms_buf + lms_idx;  // LMS positions in index order
+  int32_t m = lms_cap - lms_idx;
   induce();
 
   // name LMS substrings in their sorted order. Two LMS positions are never
   // adjacent (an LMS needs an L directly before it), so name[] indexed by
-  // cur/2 is collision-free at half the footprint.
-  std::vector<int32_t> lms;  // LMS positions in index order
-  for (int32_t i = 0; i < n; ++i)
-    if (is_lms(i)) lms.push_back(i);
-  int32_t m = (int32_t)lms.size();
-  std::vector<int32_t> name(n / 2 + 1, -1);
+  // cur/2 is collision-free at half the footprint. Dirty memory is fine:
+  // every slot read (lms[k]>>1) is written first — after pass 1 the SA
+  // holds all n positions, so the loop visits every LMS.
+  int32_t* name = ar.alloc(n / 2 + 1);
   int32_t names = 0;
   int32_t prev = -1;
   for (int32_t i = 0; i < n; ++i) {
@@ -153,10 +188,13 @@ void sais_fused(const FusedT* sv, int32_t* sa, int32_t n, int32_t K) {
 
   // reduced problem: names in LMS index order (ends with the sentinel's
   // unique smallest name, so the precondition holds recursively). The
-  // reduced string is built directly in fused form.
-  std::vector<int32_t> sa1(m);
+  // reduced string is built directly in fused form. Both sa1 and sv1 are
+  // fully written before any read (recursion fills sa1[0..m); the
+  // names==m branch writes through the bijective name map), so dirty
+  // arena memory is safe.
+  int32_t* sa1 = ar.alloc(m);
   if (names < m) {
-    std::vector<int32_t> sv1(m);
+    int32_t* sv1 = ar.alloc(m);
     int32_t nv = name[lms[m - 1] >> 1];  // sentinel name
     uint8_t ty = 1;
     sv1[m - 1] = (nv << 1) | 1;
@@ -166,7 +204,8 @@ void sais_fused(const FusedT* sv, int32_t* sa, int32_t n, int32_t K) {
       sv1[k] = (v << 1) | ty;
       nv = v;
     }
-    sais_fused<int32_t>(sv1.data(), sa1.data(), m, names);
+    sais_fused<int32_t>(sv1, sa1, m, names, ar);
+    ar.release(m);  // sv1
   } else {
     for (int32_t k = 0; k < m; ++k) sa1[name[lms[k] >> 1]] = k;
   }
@@ -179,6 +218,7 @@ void sais_fused(const FusedT* sv, int32_t* sa, int32_t n, int32_t K) {
     sa[--bkt[sv[j] >> 1]] = j;
   }
   induce();
+  ar.top = ar_mark;  // pop this level's scratch
 }
 
 // Per-thread scratch reused across blocks: the top-level arrays total
@@ -188,6 +228,7 @@ void sais_fused(const FusedT* sv, int32_t* sa, int32_t n, int32_t K) {
 thread_local std::vector<uint8_t> tl_T;
 thread_local std::vector<uint16_t> tl_sv;
 thread_local std::vector<int32_t> tl_sa;
+thread_local Arena tl_arena;
 
 // Suffix array of a byte string (values shifted +1, sentinel appended,
 // fused u16 lanes: 4x less random-read traffic than int32 value+type).
@@ -207,7 +248,10 @@ const int32_t* sais_u8(const uint8_t* t, int32_t n) {
     nv = v;
   }
   if ((int32_t)tl_sa.size() < N) tl_sa.resize(N);
-  sais_fused<uint16_t>(sv, tl_sa.data(), N, 257);
+  // per-level simultaneous scratch is <= 2K + 2n_l + 2 ints with
+  // n_{l+1} <= n_l/2, so 8N+4096 bounds the whole recursion
+  tl_arena.prepare((size_t)N * 8 + 4096);
+  sais_fused<uint16_t>(sv, tl_sa.data(), N, 257, tl_arena);
   return tl_sa.data() + 1;  // drop the sentinel's slot 0
 }
 
