@@ -32,6 +32,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <type_traits>
 #include <vector>
 #include <algorithm>
 #ifdef __AVX2__
@@ -194,18 +195,31 @@ void sais_fused(const FusedT* sv, int32_t* sa, int32_t n, int32_t K,
   // arena memory is safe.
   int32_t* sa1 = ar.alloc(m);
   if (names < m) {
-    int32_t* sv1 = ar.alloc(m);
-    int32_t nv = name[lms[m - 1] >> 1];  // sentinel name
-    uint8_t ty = 1;
-    sv1[m - 1] = (nv << 1) | 1;
-    for (int32_t k = m - 2; k >= 0; --k) {
-      int32_t v = name[lms[k] >> 1];
-      ty = (v < nv) || (v == nv && ty);
-      sv1[k] = (v << 1) | ty;
-      nv = v;
+    // the reduced string reuses the fused-u16 trick whenever the names fit
+    // ((name<<1)|ty <= 65535): half the random-read traffic in the
+    // recursion's induce scans, exactly like the top level
+    auto build_and_recurse = [&](auto* sv1) {
+      using T1 = std::remove_reference_t<decltype(*sv1)>;
+      int32_t nv = name[lms[m - 1] >> 1];  // sentinel name
+      uint8_t ty = 1;
+      sv1[m - 1] = (T1)((nv << 1) | 1);
+      for (int32_t k = m - 2; k >= 0; --k) {
+        int32_t v = name[lms[k] >> 1];
+        ty = (v < nv) || (v == nv && ty);
+        sv1[k] = (T1)((v << 1) | ty);
+        nv = v;
+      }
+      sais_fused<T1>(sv1, sa1, m, names, ar);
+    };
+    if (names < (1 << 15)) {
+      int32_t* raw = ar.alloc((m + 1) / 2);
+      build_and_recurse(reinterpret_cast<uint16_t*>(raw));
+      ar.release((m + 1) / 2);
+    } else {
+      int32_t* sv1 = ar.alloc(m);
+      build_and_recurse(sv1);
+      ar.release(m);
     }
-    sais_fused<int32_t>(sv1, sa1, m, names, ar);
-    ar.release(m);  // sv1
   } else {
     for (int32_t k = 0; k < m; ++k) sa1[name[lms[k] >> 1]] = k;
   }
