@@ -342,7 +342,10 @@ extern "C" int64_t tpubz_bwt(const uint8_t* data, int64_t n64,
   // (n-r) mod n, folded into the same pass.
   int32_t target = r == 0 ? 0 : n - r;
   int32_t key = 0;
+  constexpr int32_t PD = 24;  // sa is sequential; the T[sa[i]-1] read is
+                              // random — prefetch it PD entries ahead
   for (int32_t i = 0; i < n; ++i) {
+    if (i + PD < n) __builtin_prefetch(&T[sa[i + PD] - 1]);
     int32_t v = sa[i];
     last[i] = T[v == 0 ? n - 1 : v - 1];
     if (v == target) key = i;
