@@ -163,6 +163,35 @@ def test_native_bwt_fuzz_periodic_regimes(rng):
         )
 
 
+def test_native_bwt_deep_recursion_fibonacci(rng):
+    """Fibonacci words maximize SA-IS recursion depth (every level keeps
+    ~1/phi of its LMS structure), pinning the arena-scratch recursion path
+    (bwt.cpp) level by level; sizes straddle the u16/u32 reduced-string
+    dispatch at names >= 2^15."""
+    from tpubz.hostref.bwt import bwt_encode
+    from tpubz.native import bwt_native
+
+    if bwt_native(np.frombuffer(b"ab", np.uint8)) is None:
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    a, b = b"a", b"b"
+    while len(a) < 200_000:
+        a, b = a + b, a
+    fib = np.frombuffer(a, np.uint8)
+    for size in (1000, 30000, len(fib)):
+        d = fib[:size]
+        k0, l0 = bwt_encode(d)
+        k1, l1 = bwt_native(d)
+        assert k0 == k1 and np.array_equal(np.asarray(l0), l1), size
+        # noisy variant: break the pure structure to vary names/m ratios
+        e = d.copy()
+        e[rng.integers(0, size, 8)] ^= 3
+        k0, l0 = bwt_encode(e)
+        k1, l1 = bwt_native(e)
+        assert k0 == k1 and np.array_equal(np.asarray(l0), l1), size
+
+
 def test_native_block_transform_matches_hostref(rng):
     from tpubz.hostref.bwt import bwt_encode
     from tpubz.hostref.mtf_rle2 import mtf_rle2_encode

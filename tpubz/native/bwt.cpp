@@ -65,6 +65,9 @@ struct Arena {
     top = 0;
   }
   int32_t* alloc(size_t k) {
+    // growing here would invalidate live pointers up the recursion —
+    // prepare() must have sized the arena; fail loudly over silent UB
+    if (top + k > buf.size()) std::abort();
     int32_t* p = buf.data() + top;
     top += k;
     return p;
