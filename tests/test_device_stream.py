@@ -7,7 +7,10 @@ from tpubz.hostref.stream import compress as host_compress, decompress
 
 
 @pytest.mark.slow
-def test_device_stream_byte_identical(rng):
+def test_device_stream_byte_identical(rng, monkeypatch):
+    # these cases are single-block on purpose; force them onto the device
+    # path (by default tiny streams route to the CPU engine)
+    monkeypatch.setenv("TPUBZ_MIN_DEVICE_BLOCKS", "1")
     from tpubz.stream.api import compress as dev_compress
 
     cases = [

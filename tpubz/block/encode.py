@@ -33,14 +33,13 @@ from ..hostref.bitio import BitAccum
 from ..hostref.huffman import (
     c_code_lengths,
     c_init_tables,
-    huffman_emit,
     huffman_emit_headers,
     mtf_selectors,
-    refine_stream,
 )
 from ..kernels.mtf import mtf_ranks
 from ..kernels.rle2 import rle2_encode
 from ..kernels.suffix_sort import bwt_forward
+from . import emit
 
 MTF_CHUNK = 256
 
@@ -599,21 +598,9 @@ class DeviceBlockEncoder:
         )
         return self.emit_block(key, syms, rle2_len, freqs, used, crc)
 
-    @staticmethod
-    def emit_block(key, syms, rle2_len, freqs, used, crc) -> BitAccum:
-        """Host emission from (possibly batched-and-sliced) device outputs."""
-        rle2 = syms[:rle2_len].astype(np.int64)
-        alpha = int(used.sum()) + 2
-        selectors, lengths, table_count = refine_stream(
-            rle2, freqs.astype(np.int64), alpha
-        )
-        acc = BitAccum()
-        acc.put(BLOCK_MAGIC, 48)
-        acc.put(crc, 32)
-        acc.put(0, 1)
-        acc.put(int(key), 24)
-        huffman_emit(acc, rle2, used, selectors, lengths, table_count)
-        return acc
+    # host emission lives in the jax-free tpubz/block/emit.py so CPU-only
+    # paths never import this module (and its jax dependency) to reach it
+    emit_block = staticmethod(emit.emit_block)
 
     def encode_block_devrefine(self, trans_out, crc: int) -> BitAccum:
         """Encode with the refinement argmin/rfreq matmuls and the payload

@@ -98,11 +98,10 @@ class _HostFallbackEncoder:
 
             return encode_block(rle1_block, crc)
         key, rle2, freqs, used = res
-        from ..block.encode import DeviceBlockEncoder
+        # jax-free emission module: the CPU engine must never pull in jax
+        from ..block.emit import emit_block
 
-        return DeviceBlockEncoder.emit_block(
-            key, rle2, rle2.size, freqs, used, crc
-        )
+        return emit_block(key, rle2, rle2.size, freqs, used, crc)
 
 
 def _encoder(level: int):
@@ -119,6 +118,20 @@ def _encoder(level: int):
         except Exception:
             _encoders[level] = _HostFallbackEncoder(level)
     return _encoders[level]
+
+
+def _encoder_for(level: int, n_blocks: int):
+    """Engine choice given the stream's block count: tiny streams route to
+    the CPU engine when the device encoder isn't already warm — a 1-2 block
+    stream can't pipeline launches, the CPU engine's bytes are identical,
+    and skipping the device keeps jax entirely out of the process (import +
+    backend init cost seconds vs <=100 ms/block native; the C tool does a
+    tiny file in milliseconds, reference lib.rs:35's tiny-file regime)."""
+    if level not in _encoders:
+        min_dev = int(os.environ.get("TPUBZ_MIN_DEVICE_BLOCKS", "3"))
+        if n_blocks < min_dev:
+            return _HostFallbackEncoder(level)
+    return _encoder(level)
 
 
 def compress(data: bytes | np.ndarray, level: int = 9) -> bytes:
@@ -151,14 +164,18 @@ def _compress_impl(
         if isinstance(data, (bytes, bytearray, memoryview))
         else np.asarray(data, dtype=np.uint8)
     )
-    enc = _HostFallbackEncoder(level) if force_host else _encoder(level)
+    out, blocks = rle1_blocks(arr, block_budget(level))
+    enc = (
+        _HostFallbackEncoder(level)
+        if force_host
+        else _encoder_for(level, len(blocks))
+    )
 
     header = BitAccum()
     for b in STREAM_MAGIC:
         header.put(b, 8)
     header.put(0x30 + level, 8)
     chunks = [header.pack()]
-    out, blocks = rle1_blocks(arr, block_budget(level))
     s_crc = 0
     gen = (
         _host_block_results

@@ -73,7 +73,9 @@ def compress_stream(fin: io.RawIOBase, fout: io.RawIOBase, level: int = 9) -> in
         raise ValueError("level must be 1..9")
     from .api import _HostFallbackEncoder, _device_block_results, _encoder
 
-    enc = _encoder(level)
+    enc = None  # chosen at the first processed window: a stream that ends
+    # within the first window with few blocks routes to the CPU engine
+    # (api._encoder_for) so tiny files never pay the jax import/init
     sink = _BitSink(fout)
     header = BitAccum()
     for b in STREAM_MAGIC:
@@ -112,6 +114,13 @@ def compress_stream(fin: io.RawIOBase, fout: io.RawIOBase, level: int = 9) -> in
         else:
             keep = blocks
             carry = np.zeros(0, np.uint8)
+        if enc is None:
+            if eof and not wrote_block:
+                from .api import _encoder_for
+
+                enc = _encoder_for(level, len(keep))
+            else:
+                enc = _encoder(level)
         if isinstance(enc, _HostFallbackEncoder):
             from .api import _host_block_results
 
