@@ -98,3 +98,48 @@ def test_iterations_flag(rng, tmp_path, monkeypatch):
 
     o = parse_args(["--iterations=6", "-1"])
     assert o.iterations == 6 and o.level == 1
+
+
+def test_tiny_stream_routes_host_and_stays_jax_free(rng, tmp_path):
+    """Streams under TPUBZ_MIN_DEVICE_BLOCKS route to the CPU engine when
+    no device encoder is warm, and that path must never import jax (the
+    tiny-file CLI latency contract: block emission lives in the jax-free
+    tpubz/block/emit.py). Runs in a -S subprocess so this environment's
+    sitecustomize (which imports jax into every process) can't mask a
+    regression."""
+    import subprocess
+    import sys
+
+    src = tmp_path / "tiny.txt"
+    dst = tmp_path / "tiny.txt.bz2"
+    data = b"hello tiny stream\n" * 40
+    src.write_bytes(data)
+    import os
+    import pathlib
+
+    import numpy
+    import tpubz
+
+    repo = str(pathlib.Path(tpubz.__file__).resolve().parents[1])
+    # resolve site-packages here (the -S child skips site.py, so the venv's
+    # paths must be passed in explicitly)
+    sitedir = os.path.dirname(os.path.dirname(numpy.__file__))
+    code = (
+        "import sys\n"
+        f"sys.path.insert(0, {repo!r})\n"
+        f"sys.path.append({sitedir!r})\n"
+        "from tpubz.stream.files import compress_file\n"
+        f"compress_file({str(src)!r}, {str(dst)!r}, 9)\n"
+        "assert 'jax' not in sys.modules, 'tiny stream pulled in jax'\n"
+    )
+    p = subprocess.run(
+        [sys.executable, "-S", "-c", code], capture_output=True, text=True
+    )
+    assert p.returncode == 0, p.stderr
+    # the host-routed bytes are the canonical stream bytes
+    from tpubz.hostref.stream import compress as oracle
+    from tpubz.stream.decode import decompress
+
+    blob = dst.read_bytes()
+    assert blob == oracle(data, 9)
+    assert decompress(blob) == data
