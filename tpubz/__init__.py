@@ -41,3 +41,12 @@ def compress(data, level: int = 9) -> bytes:
 def decompress(data) -> bytes:
     from .stream.decode import decompress as _d
     return _d(bytes(data))
+
+
+def __getattr__(name):
+    # stdlib-bz2-compatible incremental codec objects, loaded lazily
+    if name in ("BZ2Compressor", "BZ2Decompressor"):
+        from . import incremental
+
+        return getattr(incremental, name)
+    raise AttributeError(f"module 'tpubz' has no attribute {name!r}")
