@@ -119,3 +119,16 @@ def test_decompressor_corrupt_block(rng):
         # a short corrupt stream may park as needs-more-input; feeding the
         # worst-case bound of padding must flush the error out
         dec.decompress(b"\x00" * (1 * 100_000 * 3 + 8192))
+
+
+def test_decompressor_numpy_fallback(rng, monkeypatch):
+    """Without the native lib the decompressor walks blocks through the
+    hostref decoder — same output, same eof/unused_data."""
+    import tpubz.incremental as inc
+
+    monkeypatch.setattr("tpubz.native.get_lib", lambda: None)
+    d = _mixed(rng, 60_000)
+    blob = bz2.compress(d, 1) + b"tail"
+    dec = tpubz.BZ2Decompressor()
+    out = dec.decompress(blob[:3000]) + dec.decompress(blob[3000:])
+    assert out == d and dec.eof and dec.unused_data == b"tail"

@@ -160,11 +160,13 @@ class BZ2Decompressor:
                 raw, end_bit, actual = (
                     raw_a.tobytes(), br.pos, block_crc(raw_a),
                 )
-        except ValueError:
-            # ambiguous: block extends past the buffered bytes, or corrupt.
-            # A valid compressed block never spans more than ~3x the 900k
-            # post-RLE1 budget (worst-case RLE2 length at <=20 bits/symbol
-            # plus headers) — within that bound, ask for more input.
+        except (ValueError, EOFError):
+            # ambiguous: block extends past the buffered bytes (the hostref
+            # fallback reports that as EOFError, the native decoder as
+            # ValueError), or corrupt. A valid compressed block never spans
+            # more than ~3x the 900k post-RLE1 budget (worst-case RLE2
+            # length at <=20 bits/symbol plus headers) — within that bound,
+            # ask for more input.
             max_block_bytes = self._level * 100_000 * 3 + 4096
             if len(self._buf) - self._pos // 8 < max_block_bytes:
                 return False
