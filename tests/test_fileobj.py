@@ -113,3 +113,73 @@ def test_early_close_reader_does_not_hang(tmp_path, rng):
     assert f.read(1000) == d[:1000]
     f.close()  # must not deadlock on the worker's backpressure
     assert f.closed
+
+
+def test_bz2file_alias_and_mode_surface(tmp_path, rng):
+    d = _payload(rng, 120_000)
+    p = tmp_path / "alias.bz2"
+    with tpubz.BZ2File(p, "wb") as f:
+        f.write(d)
+    with bz2.BZ2File(p) as f:
+        assert f.read() == d
+
+
+def test_seek_matches_stdlib(tmp_path, rng):
+    d = _payload(rng, 300_000)
+    p = tmp_path / "s.bz2"
+    p.write_bytes(bz2.compress(d, 9))
+    with tpubz.BZ2File(p, "rb") as f, bz2.BZ2File(p) as g:
+        assert f.seekable() and g.seekable()
+        for args in [
+            (1000,),
+            (500, io.SEEK_CUR),
+            (100_000,),
+            (7,),                 # backward: rewind + re-decode
+            (-2000, io.SEEK_END),
+            (10**9,),             # past EOF parks at EOF
+            (0,),
+        ]:
+            assert f.seek(*args) == g.seek(*args), args
+            assert f.tell() == g.tell()
+            assert f.read(4096) == g.read(4096), args
+
+
+def test_peek_does_not_advance(tmp_path, rng):
+    d = _payload(rng, 50_000)
+    p = tmp_path / "pk.bz2"
+    p.write_bytes(bz2.compress(d, 9))
+    with tpubz.BZ2File(p, "rb") as f:
+        head = f.peek(16)
+        assert len(head) >= 16 and d.startswith(head[:16])
+        assert f.tell() == 0
+        assert f.read(16) == d[:16]
+        f.seek(0, io.SEEK_END)
+        assert f.peek() == b""
+
+
+def test_seek_on_write_handle_raises(tmp_path):
+    with tpubz.BZ2File(tmp_path / "w.bz2", "wb") as f:
+        assert not f.seekable()
+        with pytest.raises((io.UnsupportedOperation, ValueError)):
+            f.seek(0)
+
+
+def test_seek_nonseekable_source_raises(rng):
+    d = _payload(rng, 20_000)
+
+    class NoSeek(io.RawIOBase):
+        def __init__(self, b):
+            self._b = io.BytesIO(b)
+
+        def readable(self):
+            return True
+
+        def read(self, n=-1):
+            return self._b.read(n)
+
+    f = tpubz.BZ2File(NoSeek(bz2.compress(d)), "rb")
+    assert not f.seekable()
+    with pytest.raises(io.UnsupportedOperation):
+        f.seek(0)
+    assert f.read() == d
+    f.close()

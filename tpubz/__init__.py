@@ -49,4 +49,10 @@ def __getattr__(name):
         from . import incremental
 
         return getattr(incremental, name)
+    if name == "BZ2File":
+        # bz2.BZ2File drop-in (binary file object incl. read-mode
+        # seek/peek); see tpubz/fileobj.py
+        from .fileobj import TpubzFile
+
+        return TpubzFile
     raise AttributeError(f"module 'tpubz' has no attribute {name!r}")

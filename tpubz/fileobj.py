@@ -56,18 +56,48 @@ class _BridgeReader(io.RawIOBase):
     def readable(self) -> bool:
         return True
 
-    def read(self, n: int = -1) -> bytes:
+    def _fill(self, n: int) -> None:
         while not self._eof and (n < 0 or len(self._buf) < n):
             chunk = self._b.get()
             if chunk is _Bridge._EOF:
                 self._eof = True
                 break
             self._buf += chunk
+
+    def read(self, n: int = -1) -> bytes:
+        self._fill(n)
         if n < 0 or n >= len(self._buf):
             out, self._buf = self._buf, b""
         else:
             out, self._buf = self._buf[:n], self._buf[n:]
         return out
+
+    def peek(self, n: int = 1) -> bytes:
+        self._fill(max(n, 1))
+        return self._buf
+
+
+class _Aborted(Exception):
+    """Raised inside a decode worker whose TpubzFile rewound/closed."""
+
+
+class _AbortableSource(io.RawIOBase):
+    """Read-through wrapper that lets the owner cancel a decode worker
+    blocked on (or about to issue) a file read — needed so ``seek``'s
+    rewind can retire the old worker without decoding the rest of the
+    file or racing it for the shared file position."""
+
+    def __init__(self, fp, abort: threading.Event):
+        self._fp = fp
+        self._abort = abort
+
+    def readable(self) -> bool:
+        return True
+
+    def read(self, n: int = -1) -> bytes:
+        if self._abort.is_set():
+            raise _Aborted
+        return self._fp.read(n)
 
 
 class _BridgeWriter(io.RawIOBase):
@@ -127,23 +157,44 @@ class TpubzFile(io.BufferedIOBase):
                     self._exc.append(e)
                     self._bridge.dead = True
 
+            self._worker = threading.Thread(target=work, daemon=True)
+            self._worker.start()
         else:
-            src = self._fp
+            self._start_read_worker()
 
-            def work():
-                from .stream.files import decompress_stream
+    def _start_read_worker(self) -> None:
+        """(Re)spawn the decode worker at the current file position."""
+        self._bridge = _Bridge()
+        self._abort = threading.Event()
+        src = _AbortableSource(self._fp, self._abort)
+        bridge = self._bridge
 
-                try:
-                    decompress_stream(src, _BridgeWriter(self._bridge))
-                except BaseException as e:  # noqa: BLE001 — re-raised on read
-                    self._exc.append(e)
-                finally:
-                    self._bridge.close_write()
+        def work():
+            from .stream.files import decompress_stream
+
+            try:
+                decompress_stream(src, _BridgeWriter(bridge))
+            except _Aborted:
+                pass  # owner rewound/closed; output already discarded
+            except BaseException as e:  # noqa: BLE001 — re-raised on read
+                self._exc.append(e)
+            finally:
+                bridge.close_write()
 
         self._worker = threading.Thread(target=work, daemon=True)
         self._worker.start()
-        if not self._writing:
-            self._reader = _BridgeReader(self._bridge)
+        self._reader = _BridgeReader(self._bridge)
+
+    def _retire_read_worker(self) -> None:
+        """Cancel the decode worker and wait for it to exit."""
+        self._abort.set()
+        self._bridge.dead = True  # unblock a worker mid-put
+        try:
+            while True:
+                self._bridge.q.get_nowait()
+        except queue.Empty:
+            pass
+        self._worker.join()
 
     def _check(self, writing: bool | None = None) -> None:
         if self._closed:
@@ -169,6 +220,15 @@ class TpubzFile(io.BufferedIOBase):
     def read1(self, n: int = -1) -> bytes:
         return self.read(n if n >= 0 else io.DEFAULT_BUFFER_SIZE)
 
+    def peek(self, n: int = 1) -> bytes:
+        """Buffered decompressed bytes without advancing the position
+        (at least one byte unless at EOF; may return more than ``n``,
+        like ``bz2.BZ2File.peek``)."""
+        self._check(writing=False)
+        out = self._reader.peek(n)
+        self._check(writing=False)
+        return out
+
     # write side
     def writable(self) -> bool:
         return self._writing
@@ -188,7 +248,47 @@ class TpubzFile(io.BufferedIOBase):
         return self._pos
 
     def seekable(self) -> bool:
-        return False
+        return (
+            not self._closed
+            and not self._writing
+            and getattr(self._fp, "seekable", lambda: False)()
+        )
+
+    def seek(self, offset: int, whence: int = io.SEEK_SET) -> int:
+        """Seek in the decompressed stream (read mode only).
+
+        Emulated like ``bz2.BZ2File.seek``: backward seeks rewind the
+        underlying file and re-decode; ``SEEK_END`` decodes to the end
+        first to learn the size.
+        """
+        self._check(writing=False)
+        if not self.seekable():
+            raise io.UnsupportedOperation("seek")
+        if whence == io.SEEK_SET:
+            target = offset
+        elif whence == io.SEEK_CUR:
+            target = self._pos + offset
+        elif whence == io.SEEK_END:
+            while self.read(1 << 20):
+                pass
+            target = self._pos + offset
+        else:
+            raise ValueError(f"invalid whence: {whence!r}")
+        target = max(target, 0)
+        if target < self._pos:
+            self._retire_read_worker()
+            self._fp.seek(0)
+            self._exc.clear()
+            self._start_read_worker()
+            self._pos = 0
+        while self._pos < target:
+            if not self.read(min(1 << 20, target - self._pos)):
+                break  # seeking past EOF parks at EOF, like bz2
+        return self._pos
+
+    def fileno(self) -> int:
+        self._check()
+        return self._fp.fileno()
 
     @property
     def closed(self) -> bool:
@@ -202,14 +302,7 @@ class TpubzFile(io.BufferedIOBase):
                 self._bridge.close_write()
                 self._worker.join()
             else:
-                # stop consuming; let the worker drain and exit
-                self._bridge.dead = True
-                try:
-                    while self._bridge.q.get_nowait() is not None:
-                        pass
-                except queue.Empty:
-                    pass
-                self._worker.join(timeout=10)
+                self._retire_read_worker()
             if self._exc:
                 raise self._exc[0]
         finally:
