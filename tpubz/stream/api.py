@@ -247,8 +247,8 @@ def _device_block_results(enc, arr, out, blocks):
     host cores idle, and the native CPU engine (tpubz/native/bwt.cpp)
     produces byte-identical blocks — so whenever a dedicated CPU worker is
     free, the next block routes to it instead of the device
-    (TPUBZ_HYBRID_CPU=N workers; default cpu_count-3 so the device path's
-    own host legs — refine, emit, fetch — keep their cores). Aggregate
+    (TPUBZ_HYBRID_CPU=N workers; default 3x cores — the memory-latency-
+    bound native engine's oversubscription knee). Aggregate
     throughput becomes device rate + CPU rate; ordering is preserved by the
     same in-flight deque."""
     BATCH = _batch_size()
@@ -323,12 +323,15 @@ def _device_block_results(enc, arr, out, blocks):
     # default 2x the core count: the CPU workers stall on memory (SA-IS is
     # cache-bound) and the device path's host legs block on relay IO, so
     # oversubscription fills the scheduler gaps. Measured on the 4-core rig
-    # (8MB -9): 1 worker 9.8 MB/s, 4 -> 17.7, 8 -> 27.0, 12 -> 11 (thrash)
-    # — 2x cores is the knee; the steal_ok EMA guard still sheds workers
-    # whenever the device cadence beats the CPU block time.
+    # (8MB -9): early-engine sweep kneed at 2x cores; after the SA-IS
+    # arena/u16/prefetch cuts the memory-latency-bound engine profits from
+    # deeper oversubscription — interleaved A/B: 2x cores 41.9 MB/s vs
+    # 3x 43.0 (and 4x collapses to 27), matching the pure-CPU engine's
+    # 3x-core knee. The steal_ok EMA guard still sheds workers whenever
+    # the device cadence beats the CPU block time.
     hybrid_n = int(
         os.environ.get(
-            "TPUBZ_HYBRID_CPU", str(min(2 * (os.cpu_count() or 4), 16))
+            "TPUBZ_HYBRID_CPU", str(min(3 * (os.cpu_count() or 4), 24))
         )
     )
     cpu_pool = cpu_slots = None
