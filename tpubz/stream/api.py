@@ -320,7 +320,7 @@ def _device_block_results(enc, arr, out, blocks):
     import threading
     import time
 
-    # default 2x the core count: the CPU workers stall on memory (SA-IS is
+    # default 3x the core count: the CPU workers stall on memory (SA-IS is
     # cache-bound) and the device path's host legs block on relay IO, so
     # oversubscription fills the scheduler gaps. Measured on the 4-core rig
     # (8MB -9): early-engine sweep kneed at 2x cores; after the SA-IS
