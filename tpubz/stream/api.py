@@ -266,10 +266,18 @@ def _device_block_results(enc, arr, out, blocks):
         blocks = blocks[full:]
         if not blocks:
             return
-    from concurrent.futures import ThreadPoolExecutor
+    from concurrent.futures import (
+        FIRST_COMPLETED,
+        ThreadPoolExecutor,
+        TimeoutError as _FutTimeout,
+        wait as _fut_wait,
+    )
 
     from ..block.encode import DeviceBlockEncoder, materialize
 
+    # entries are (future, kind, block_args): kind "dev" futures carry their
+    # block ranges so the drain can duplicate an overdue device block onto a
+    # CPU worker (bytes are engine-identical)
     inflight: deque = deque()
     # device->host fetches run on a side thread pool (device_get releases
     # the GIL) so each block's transfer overlaps other blocks' work; the
@@ -443,22 +451,48 @@ def _device_block_results(enc, arr, out, blocks):
             # MTF/RLE2 on the fetched last column
             bfut = enc.transform_bwt(out[o0:o1])
             fetch_fut = fetch_pool.submit(_materialize_bwt, bfut)
-            inflight.append(
-                emit_pool.submit(emit_bwt_timed, fetch_fut, i0, i1)
-            )
+            f = emit_pool.submit(emit_bwt_timed, fetch_fut, i0, i1)
         elif DEVICE_REFINE:
             fut = enc.transform(out[o0:o1], lean=False)
-            inflight.append(
-                emit_pool.submit(emit_devrefine_timed, fut, i0, i1)
-            )
+            f = emit_pool.submit(emit_devrefine_timed, fut, i0, i1)
         else:
             # host-refine never reads freqs/hist on device: lean graph
             fut = enc.transform(out[o0:o1], lean=True)
             fetch_fut = fetch_pool.submit(materialize, fut)
-            inflight.append(emit_pool.submit(emit_timed, fetch_fut, i0, i1))
+            f = emit_pool.submit(emit_timed, fetch_fut, i0, i1)
+        inflight.append((f, "dev", (o0, o1, i0, i1)))
         # queue-depth observability, mirroring the reference's RX queue
         # logging (compress.rs:81-85)
         log.debug("in-flight device blocks: %d", len(inflight))
+
+    def pop_head():
+        """Ordered drain of one block. A device block at the head can outlast
+        the entire CPU queue in a slow relay phase (measured: the hybrid at
+        24MB LOSING to CPU-only, 26 vs 39 MB/s, on device stragglers), so an
+        overdue device head is duplicated onto a free CPU worker and the
+        first engine to finish wins — output bytes are identical, and the
+        stream tail is then bounded by one CPU block instead of an unbounded
+        relay latency."""
+        fut, kind, args = inflight.popleft()
+        if kind == "dev" and cpu_pool is not None:
+            cad = dev_cadence()
+            grace = max(2 * cad, 0.25) if cad is not None else 0.5
+            try:
+                return fut.result(timeout=grace)
+            except _FutTimeout:
+                pass
+            if cpu_slots.acquire(blocking=False):
+                dup = cpu_pool.submit(cpu_one, *args)
+                done, _ = _fut_wait((fut, dup), return_when=FIRST_COMPLETED)
+                pick = fut if (fut in done and not fut.exception()) else (
+                    dup if dup in done else fut
+                )
+                try:
+                    return pick.result()
+                except Exception:
+                    # rare: the winner errored — fall back to the twin
+                    return (dup if pick is fut else fut).result()
+        return fut.result()
 
     try:
         n_total = len(blocks)
@@ -476,21 +510,25 @@ def _device_block_results(enc, arr, out, blocks):
                 and steal_ok(n_total - idx)
                 and cpu_slots.acquire(blocking=False)
             ):
-                inflight.append(cpu_pool.submit(cpu_one, o0, o1, i0, i1))
+                inflight.append(
+                    (cpu_pool.submit(cpu_one, o0, o1, i0, i1), "cpu", None)
+                )
                 log.debug("in-flight blocks (cpu steal): %d", len(inflight))
             elif cpu_pool is not None and cpu_slots.acquire(timeout=0.5):
                 # all slots busy: waiting for a CPU slot beats force-feeding
                 # an engine the estimates just rejected
-                inflight.append(cpu_pool.submit(cpu_one, o0, o1, i0, i1))
+                inflight.append(
+                    (cpu_pool.submit(cpu_one, o0, o1, i0, i1), "cpu", None)
+                )
             else:
                 # no CPU pool (or it stayed saturated past the wait):
                 # overflow to the device; the ordered drain applies the
                 # remaining backpressure
                 dispatch_device(o0, o1, i0, i1)
             if len(inflight) >= WINDOW:
-                yield inflight.popleft().result()
+                yield pop_head()
         while inflight:
-            yield inflight.popleft().result()
+            yield pop_head()
     finally:
         fetch_pool.shutdown(wait=False)
         emit_pool.shutdown(wait=False)
