@@ -444,21 +444,32 @@ def _device_block_results(enc, arr, out, blocks):
     def dispatch_device(o0, o1, i0, i1):
         with dev_lock:
             dev_inflight[0] += 1
+        blk = out[o0:o1]
+        # the jitted transform dispatch runs on a pool thread, NOT here: a
+        # cold compile (stale persistent cache after a kernel edit) then
+        # stalls one in-flight block — which the drain's straggler guard
+        # duplicates onto a CPU worker — instead of wedging the main
+        # dispatch loop (and the whole stream) for minutes
         if stage == "bwt":
             # bwt-only route: the chip runs just the suffix sort (the
             # stage it beats the host at, ~33 vs ~61 ms/block pipelined
             # for the full chain) and the host's native engine runs
             # MTF/RLE2 on the fetched last column
-            bfut = enc.transform_bwt(out[o0:o1])
-            fetch_fut = fetch_pool.submit(_materialize_bwt, bfut)
+            fetch_fut = fetch_pool.submit(
+                lambda: _materialize_bwt(enc.transform_bwt(blk))
+            )
             f = emit_pool.submit(emit_bwt_timed, fetch_fut, i0, i1)
         elif DEVICE_REFINE:
-            fut = enc.transform(out[o0:o1], lean=False)
-            f = emit_pool.submit(emit_devrefine_timed, fut, i0, i1)
+            f = emit_pool.submit(
+                lambda: emit_devrefine_timed(
+                    enc.transform(blk, lean=False), i0, i1
+                )
+            )
         else:
             # host-refine never reads freqs/hist on device: lean graph
-            fut = enc.transform(out[o0:o1], lean=True)
-            fetch_fut = fetch_pool.submit(materialize, fut)
+            fetch_fut = fetch_pool.submit(
+                lambda: materialize(enc.transform(blk, lean=True))
+            )
             f = emit_pool.submit(emit_timed, fetch_fut, i0, i1)
         inflight.append((f, "dev", (o0, o1, i0, i1)))
         # queue-depth observability, mirroring the reference's RX queue
