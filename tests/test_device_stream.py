@@ -221,3 +221,43 @@ def test_hybrid_cpu_steal_byte_identical(rng, monkeypatch):
     monkeypatch.setenv("TPUBZ_HYBRID_CPU", "0")
     pure = api.compress(d, 1)
     assert hybrid == pure == oracle(d, 1)
+
+
+def test_device_straggler_duplicated_onto_cpu(rng, monkeypatch):
+    """A wedged device block must not stall the stream: the ordered drain
+    duplicates an overdue device head block onto a CPU worker and takes the
+    first finisher (stream/api.py pop_head). Simulated by making the device
+    transform sleep far longer than the whole CPU encode."""
+    import time
+
+    monkeypatch.setenv("TPUBZ_MIN_DEVICE_BLOCKS", "1")
+    # conftest disables the hybrid pool; the guard under test needs it
+    monkeypatch.setenv("TPUBZ_HYBRID_CPU", "8")
+    import tpubz.stream.api as api
+    from tpubz.block.encode import DeviceBlockEncoder
+
+    d = (
+        b"straggler guard corpus " * 9000
+        + bytes(rng.integers(0, 256, 120000, dtype=np.uint8))
+    )
+    slept = []
+
+    def wedge(self, blk):
+        slept.append(time.time())
+        time.sleep(8.0)
+        raise RuntimeError("device wedged")
+
+    # reset persistent scheduler estimates so the wedged device still gets
+    # its probe block (cadence None -> one in-flight probe)
+    monkeypatch.setattr(api, "_cpu_ema_g", [0.0])
+    api._dev_done_g.clear()
+    monkeypatch.setattr(DeviceBlockEncoder, "transform_bwt", wedge)
+    monkeypatch.setattr(DeviceBlockEncoder, "transform", wedge)
+    t0 = time.time()
+    out = api.compress(d, 1)
+    wall = time.time() - t0
+    assert slept, "device probe block never dispatched"
+    assert decompress(out) == d
+    assert out == host_compress(d, 1)
+    # must have finished well before the 8s device wedge resolves
+    assert wall < 7.0, f"stream waited on the wedged device ({wall:.1f}s)"
