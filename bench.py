@@ -73,6 +73,7 @@ def main():
                     f"warm_aot_full({level}, lean_only=True)",
                 ],
                 timeout=int(os.environ.get("TPUBZ_WARM_TIMEOUT", "900")),
+                capture_output=True,  # keep the stdout JSON contract clean
             )
             _enc._split_ok = None
             _enc._lean_ok = None
