@@ -445,21 +445,26 @@ def _device_block_results(enc, arr, out, blocks):
         with dev_lock:
             dev_inflight[0] += 1
         blk = out[o0:o1]
-        # the jitted transform dispatch runs on a pool thread, NOT here: a
-        # cold compile (stale persistent cache after a kernel edit) then
-        # stalls one in-flight block — which the drain's straggler guard
-        # duplicates onto a CPU worker — instead of wedging the main
-        # dispatch loop (and the whole stream) for minutes
         if stage == "bwt":
             # bwt-only route: the chip runs just the suffix sort (the
             # stage it beats the host at, ~33 vs ~61 ms/block pipelined
             # for the full chain) and the host's native engine runs
-            # MTF/RLE2 on the fetched last column
-            fetch_fut = fetch_pool.submit(
-                lambda: _materialize_bwt(enc.transform_bwt(blk))
-            )
+            # MTF/RLE2 on the fetched last column. Dispatch happens HERE
+            # (main thread): the route is only taken when the split-chain
+            # stamp proves the compile cache is warm, so dispatch is
+            # async-cheap, and launch order stays block order (a pool-
+            # thread dispatch measured 2x slower — launches queue behind
+            # blocking device_get calls on the shared fetch pool).
+            bfut = enc.transform_bwt(blk)
+            fetch_fut = fetch_pool.submit(_materialize_bwt, bfut)
             f = emit_pool.submit(emit_bwt_timed, fetch_fut, i0, i1)
         elif DEVICE_REFINE:
+            # fallback routes can hit a cold compile (stale persistent
+            # cache after a kernel edit), so their jitted dispatch runs on
+            # a pool thread: a compile storm then stalls one in-flight
+            # block — which the drain's straggler guard duplicates onto a
+            # CPU worker — instead of wedging the main dispatch loop (and
+            # the whole stream) for minutes
             f = emit_pool.submit(
                 lambda: emit_devrefine_timed(
                     enc.transform(blk, lean=False), i0, i1
@@ -476,7 +481,7 @@ def _device_block_results(enc, arr, out, blocks):
         # logging (compress.rs:81-85)
         log.debug("in-flight device blocks: %d", len(inflight))
 
-    def pop_head():
+    def pop_head(tail=False):
         """Ordered drain of one block. A device block at the head can outlast
         the entire CPU queue in a slow relay phase (measured: the hybrid at
         24MB LOSING to CPU-only, 26 vs 39 MB/s, on device stragglers), so an
@@ -486,8 +491,15 @@ def _device_block_results(enc, arr, out, blocks):
         relay latency."""
         fut, kind, args = inflight.popleft()
         if kind == "dev" and cpu_pool is not None:
-            cad = dev_cadence()
-            grace = max(2 * cad, 0.25) if cad is not None else 0.5
+            if tail:
+                # stream tail: the CPU workers are idling, so a duplicate
+                # costs otherwise-unused cycles — don't grant the device
+                # any grace (a dead relay phase otherwise taxes EVERY
+                # stream a flat wait on its probe block)
+                grace = 0.02
+            else:
+                cad = dev_cadence()
+                grace = max(2 * cad, 0.25) if cad is not None else 0.5
             try:
                 return fut.result(timeout=grace)
             except _FutTimeout:
@@ -539,7 +551,7 @@ def _device_block_results(enc, arr, out, blocks):
             if len(inflight) >= WINDOW:
                 yield pop_head()
         while inflight:
-            yield pop_head()
+            yield pop_head(tail=True)
     finally:
         fetch_pool.shutdown(wait=False)
         emit_pool.shutdown(wait=False)
