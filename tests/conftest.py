@@ -5,6 +5,14 @@ gather logic are validated on `--xla_force_host_platform_device_count=8`
 without real TPU hardware.
 """
 import os
+import tempfile
+
+# Hermetic route selection: production routing reads AOT warm-stamp files
+# under TPUBZ_JAX_CACHE (tpubz/block/encode.py), so the same test would pass
+# or fail depending on whether bench.py had warmed /root/.jax_cache earlier
+# on the machine. Point the cache at a fresh per-session dir so every probe
+# starts cold and tests that need a specific route pin it explicitly.
+os.environ["TPUBZ_JAX_CACHE"] = tempfile.mkdtemp(prefix="tpubz_test_cache_")
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")

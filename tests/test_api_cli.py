@@ -45,6 +45,18 @@ def test_verbosity_stacking():
     assert parse_args(["-v", "-v"]).verbosity == 2
 
 
+def test_workfactor_parsed_unused():
+    """--workfactor parity with the reference's parsed-but-unused
+    BzOpts.work_factor (cli.rs:62-85): value accepted and range-checked,
+    nothing else changes."""
+    o = parse_args(["--workfactor=30", "-9", "x.txt"])
+    assert o.workfactor == 30 and o.level == 9 and o.files == ["x.txt"]
+    with pytest.raises(SystemExit):
+        parse_args(["--workfactor=251"])
+    with pytest.raises(SystemExit):
+        parse_args(["--workfactor=abc"])
+
+
 def test_profile_flag_writes_trace(rng, tmp_path, monkeypatch):
     """TPUBZ_PROFILE (and the --profile= flag that sets it) wraps the
     device-path compress in a jax.profiler trace written to the given dir."""

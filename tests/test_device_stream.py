@@ -223,18 +223,24 @@ def test_hybrid_cpu_steal_byte_identical(rng, monkeypatch):
     assert hybrid == pure == oracle(d, 1)
 
 
-def test_device_straggler_duplicated_onto_cpu(rng, monkeypatch):
+@pytest.mark.parametrize("route", ["bwt", "full"])
+def test_device_straggler_duplicated_onto_cpu(rng, monkeypatch, route):
     """A wedged device block must not stall the stream: the ordered drain
     duplicates an overdue device head block onto a CPU worker and takes the
     first finisher (stream/api.py pop_head). Simulated by making the device
-    transform sleep far longer than the whole CPU encode."""
+    transform sleep far longer than the whole CPU encode. The route is
+    pinned (warm-stamp bwt route vs cold-stamp full route) so the guard is
+    proven on BOTH dispatch paths regardless of machine cache state."""
     import time
 
     monkeypatch.setenv("TPUBZ_MIN_DEVICE_BLOCKS", "1")
     # conftest disables the hybrid pool; the guard under test needs it
     monkeypatch.setenv("TPUBZ_HYBRID_CPU", "8")
     import tpubz.stream.api as api
+    from tpubz.block import encode as E
     from tpubz.block.encode import DeviceBlockEncoder
+
+    monkeypatch.setattr(E, "_split_ok", route == "bwt")
 
     d = (
         b"straggler guard corpus " * 9000
@@ -242,7 +248,7 @@ def test_device_straggler_duplicated_onto_cpu(rng, monkeypatch):
     )
     slept = []
 
-    def wedge(self, blk):
+    def wedge(self, blk, **kw):
         slept.append(time.time())
         time.sleep(8.0)
         raise RuntimeError("device wedged")
@@ -261,3 +267,32 @@ def test_device_straggler_duplicated_onto_cpu(rng, monkeypatch):
     assert out == host_compress(d, 1)
     # must have finished well before the 8s device wedge resolves
     assert wall < 7.0, f"stream waited on the wedged device ({wall:.1f}s)"
+
+
+def test_device_fast_error_healed_by_cpu_twin(rng, monkeypatch):
+    """A device block that FAILS INSTANTLY (within the grace window) must be
+    healed by the CPU twin exactly like a straggler — a transient fast
+    device error must not kill the stream (ADVICE r2 medium). Also guards
+    the dev_inflight leak: after the error heals, the scheduler must still
+    be willing to dispatch (inflight count returned to zero)."""
+    monkeypatch.setenv("TPUBZ_MIN_DEVICE_BLOCKS", "1")
+    monkeypatch.setenv("TPUBZ_HYBRID_CPU", "8")
+    import tpubz.stream.api as api
+    from tpubz.block import encode as E
+    from tpubz.block.encode import DeviceBlockEncoder
+
+    monkeypatch.setattr(E, "_split_ok", True)
+    d = b"fast error corpus " * 11000 + bytes(
+        rng.integers(0, 256, 100000, dtype=np.uint8)
+    )
+
+    def boom(self, blk, **kw):
+        raise RuntimeError("transient device error")
+
+    monkeypatch.setattr(api, "_cpu_ema_g", [0.0])
+    api._dev_done_g.clear()
+    monkeypatch.setattr(DeviceBlockEncoder, "transform_bwt", boom)
+    monkeypatch.setattr(DeviceBlockEncoder, "transform", boom)
+    out = api.compress(d, 1)
+    assert decompress(out) == d
+    assert out == host_compress(d, 1)

@@ -39,6 +39,12 @@ HELP = """usage: tpubz [flags and input files in any order]
    --best              alias for -9
    --iterations=N      Huffman refinement passes (default 8, min 4;
                        more passes can only shrink output)
+   --workfactor=N      accepted for flag-surface parity with bzip2's
+                       fallback-sort control (0-250); this codec's BWT
+                       engines have no randomization fallback, so the
+                       value is parsed, validated and unused — exactly
+                       the reference's stance (cli.rs:62-85 parses it,
+                       nothing reads it)
    --profile=DIR       write a jax.profiler trace of the compression to
                        DIR (device-engine runs; view with tensorboard)
 
@@ -64,6 +70,7 @@ class Opts:
         self.engine = "auto"  # auto | host | device
         self.iterations: int | None = None
         self.profile: str | None = None
+        self.workfactor: int | None = None  # parsed-unused, like the ref
 
 
 def parse_args(argv: list[str], prog: str = "tpubz") -> Opts:
@@ -130,6 +137,15 @@ def parse_args(argv: list[str], prog: str = "tpubz") -> Opts:
                     raise SystemExit(f"tpubz: bad value in {arg} (see --help)")
             elif arg.startswith("--profile="):
                 o.profile = arg.split("=", 1)[1]
+            elif arg.startswith("--workfactor="):
+                try:
+                    o.workfactor = int(arg.split("=", 1)[1])
+                except ValueError:
+                    raise SystemExit(f"tpubz: bad value in {arg} (see --help)")
+                if not 0 <= o.workfactor <= 250:
+                    raise SystemExit(
+                        f"tpubz: workfactor must be 0..250 (see --help)"
+                    )
             elif arg == "--host-engine":
                 o.engine = "host"
             elif arg == "--device-engine":

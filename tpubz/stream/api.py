@@ -287,6 +287,9 @@ def _device_block_results(enc, arr, out, blocks):
         int(os.environ.get("TPUBZ_FETCH_THREADS", "4"))
     )
     emit_pool = ThreadPoolExecutor(EMIT_THREADS)
+    # single-thread launch dispatcher: keeps device launches in block order
+    # (FIFO) while isolating the main loop from a blocking/raising launch
+    dispatch_pool = ThreadPoolExecutor(1)
 
     def emit(fetch_fut, i0, i1):
         key, syms, rle2_len, freqs, used = fetch_fut.result()
@@ -380,25 +383,27 @@ def _device_block_results(enc, arr, out, blocks):
             )
             cpu_slots.release()
 
-    def _dev_done_mark():
-        _dev_done_g.append(time.time())
-        with dev_lock:
-            dev_inflight[0] -= 1
+    def _timed(fn, *args):
+        """Wrap a device-route emit: dev_inflight decrements even when the
+        block errors (a healed error must not permanently suppress device
+        dispatch), while cadence samples record only successes (an instant
+        failure would otherwise train a falsely fast cadence)."""
+        ok = False
+        try:
+            r = fn(*args)
+            ok = True
+            return r
+        finally:
+            with dev_lock:
+                dev_inflight[0] -= 1
+            if ok:
+                _dev_done_g.append(time.time())
 
     def emit_timed(fetch_fut, i0, i1):
-        r = emit(fetch_fut, i0, i1)
-        _dev_done_mark()
-        return r
-
-    def emit_devrefine_timed(trans_out, i0, i1):
-        r = emit_devrefine(trans_out, i0, i1)
-        _dev_done_mark()
-        return r
+        return _timed(emit, fetch_fut, i0, i1)
 
     def emit_bwt_timed(fetch_fut, i0, i1):
-        r = emit_bwt(fetch_fut, i0, i1)
-        _dev_done_mark()
-        return r
+        return _timed(emit_bwt, fetch_fut, i0, i1)
 
     def dev_cadence():
         """Median gap between recent device completions. Gaps up to 5s are
@@ -449,14 +454,18 @@ def _device_block_results(enc, arr, out, blocks):
             # bwt-only route: the chip runs just the suffix sort (the
             # stage it beats the host at, ~33 vs ~61 ms/block pipelined
             # for the full chain) and the host's native engine runs
-            # MTF/RLE2 on the fetched last column. Dispatch happens HERE
-            # (main thread): the route is only taken when the split-chain
-            # stamp proves the compile cache is warm, so dispatch is
-            # async-cheap, and launch order stays block order (a pool-
-            # thread dispatch measured 2x slower — launches queue behind
-            # blocking device_get calls on the shared fetch pool).
-            bfut = enc.transform_bwt(blk)
-            fetch_fut = fetch_pool.submit(_materialize_bwt, bfut)
+            # MTF/RLE2 on the fetched last column. The launch runs on a
+            # DEDICATED single-thread dispatcher: launches stay in block
+            # order (FIFO), never queue behind the fetch pool's blocking
+            # device_get calls (that sharing is what measured 2x slower),
+            # and a wedged device call (relay hang, compile storm despite
+            # the stamp) stalls only this dispatcher thread — the drain's
+            # straggler guard then duplicates the block onto a CPU worker
+            # instead of the wedge propagating out of compress().
+            launch_fut = dispatch_pool.submit(enc.transform_bwt, blk)
+            fetch_fut = fetch_pool.submit(
+                lambda: _materialize_bwt(launch_fut.result())
+            )
             f = emit_pool.submit(emit_bwt_timed, fetch_fut, i0, i1)
         elif DEVICE_REFINE:
             # fallback routes can hit a cold compile (stale persistent
@@ -466,8 +475,10 @@ def _device_block_results(enc, arr, out, blocks):
             # CPU worker — instead of wedging the main dispatch loop (and
             # the whole stream) for minutes
             f = emit_pool.submit(
-                lambda: emit_devrefine_timed(
-                    enc.transform(blk, lean=False), i0, i1
+                lambda: _timed(
+                    lambda: emit_devrefine(
+                        enc.transform(blk, lean=False), i0, i1
+                    )
                 )
             )
         else:
@@ -502,19 +513,40 @@ def _device_block_results(enc, arr, out, blocks):
                 grace = max(2 * cad, 0.25) if cad is not None else 0.5
             try:
                 return fut.result(timeout=grace)
-            except _FutTimeout:
-                pass
-            if cpu_slots.acquire(blocking=False):
-                dup = cpu_pool.submit(cpu_one, *args)
-                done, _ = _fut_wait((fut, dup), return_when=FIRST_COMPLETED)
-                pick = fut if (fut in done and not fut.exception()) else (
-                    dup if dup in done else fut
-                )
-                try:
-                    return pick.result()
-                except Exception:
-                    # rare: the winner errored — fall back to the twin
-                    return (dup if pick is fut else fut).result()
+            except Exception as dev_exc:
+                # overdue OR errored within the grace window: both heal the
+                # same way — a transient fast device error must not kill a
+                # stream the straggler guard exists to protect
+                timed_out = isinstance(dev_exc, _FutTimeout)
+                if cpu_slots.acquire(blocking=False):
+                    dup = cpu_pool.submit(cpu_one, *args)
+                    if not timed_out:
+                        # device already failed: the CPU twin is the block
+                        return dup.result()
+                    done, _ = _fut_wait(
+                        (fut, dup), return_when=FIRST_COMPLETED
+                    )
+                    pick = fut if (fut in done and not fut.exception()) else (
+                        dup if dup in done else fut
+                    )
+                    try:
+                        return pick.result()
+                    except Exception as pick_exc:
+                        # the winner errored — fall back to the twin, but
+                        # BOUNDED: the twin may be the wedged device future
+                        # that never completes; surface the concrete error
+                        # instead of reverting to the hang this guard
+                        # prevents
+                        twin = dup if pick is fut else fut
+                        bound = max(3 * (_cpu_ema_g[0] or 1.0), 5.0)
+                        try:
+                            return twin.result(timeout=bound)
+                        except _FutTimeout:
+                            raise pick_exc from None
+                elif timed_out:
+                    return fut.result()  # no free CPU slot: wait it out
+                else:
+                    raise
         return fut.result()
 
     try:
@@ -553,6 +585,7 @@ def _device_block_results(enc, arr, out, blocks):
         while inflight:
             yield pop_head(tail=True)
     finally:
+        dispatch_pool.shutdown(wait=False)
         fetch_pool.shutdown(wait=False)
         emit_pool.shutdown(wait=False)
         if cpu_pool is not None:
