@@ -44,6 +44,22 @@ def rng():
     return np.random.default_rng(1234)
 
 
+@pytest.fixture(autouse=True)
+def _fresh_rigprofile(tmp_path, monkeypatch):
+    """Per-test rig-profile isolation: the stream scheduler TRAINS the
+    measured rig profile at the end of every stream, so without isolation an
+    earlier test's (CPU-backend, wedge-simulated, ...) measurements would
+    leak into a later test's routing decisions — the same non-hermeticity
+    the per-session TPUBZ_JAX_CACHE fix above solves for the AOT stamps."""
+    from tpubz.stream import rigprofile
+
+    profile_file = str(tmp_path / "rig_profile.json")
+    monkeypatch.setattr(rigprofile, "_path", lambda: profile_file)
+    rigprofile.reset_memo()
+    yield
+    rigprofile.reset_memo()
+
+
 def _run(cmd, data):
     p = subprocess.run(cmd, input=data, capture_output=True)
     if p.returncode != 0:

@@ -36,6 +36,10 @@ WINDOW = int(os.environ.get("TPUBZ_WINDOW", "16"))
 # trains the hybrid scheduler for the whole process); see device_ok/steal_ok
 _cpu_ema_g = [0.0]
 _dev_done_g: deque = deque(maxlen=8)
+# phase attribution for the most recent device-path stream (bench.py emits
+# this into BENCH_r*.json so throughput swings are explainable: which engine
+# carried the blocks and what each engine's per-block cost measured)
+last_stream_stats: dict = {}
 # device-refine path: refinement argmin/rfreq + payload packing on device,
 # only sidecars + packed bits cross the link (VERDICT r1 items 1-2). Its
 # per-pass link round trips are latency-bound on the relay rig, where the
@@ -46,12 +50,13 @@ _dev_done_g: deque = deque(maxlen=8)
 DEVICE_REFINE = os.environ.get("TPUBZ_DEVICE_REFINE", "0") != "0"
 # which stages run on device per block: "full" = bwt+mtf+rle2 (3-launch
 # lean chain), "bwt" = suffix sort only with native host MTF/RLE2 on the
-# fetched last column. The chip's edge over the host is exactly the sort
-# (bwt-only pipelines at ~33 ms/block vs ~61 full-chain on the relay rig),
-# and host MTF costs ~17 ms vs ~95 ms for a whole CPU-engine block, so the
-# bwt route is the better core-per-block deal whenever host cores are the
-# contended resource (they are, with the hybrid steal on).
-DEVICE_STAGE = os.environ.get("TPUBZ_DEVICE_STAGE", "bwt")
+# fetched last column, "auto" (default) = derive from the measured rig
+# profile (rigprofile.choose_stage) — the chip-vs-host economics differ per
+# rig (a relay-attached chip favors bwt-only because host cores are the
+# contended resource; a throttled host flips the winner to the full chain)
+# and the profile records what THIS rig measured instead of baking one
+# rig's numbers in as defaults.
+DEVICE_STAGE = os.environ.get("TPUBZ_DEVICE_STAGE", "auto")
 if DEVICE_REFINE:
     DEVICE_STAGE = "full"  # device refine consumes the on-device symbols
 EMIT_THREADS = int(
@@ -293,9 +298,11 @@ def _device_block_results(enc, arr, out, blocks):
 
     def emit(fetch_fut, i0, i1):
         key, syms, rle2_len, freqs, used = fetch_fut.result()
+        t0 = time.time()
         crc = block_crc(arr[i0:i1])
         blk = DeviceBlockEncoder.emit_block(key, syms, rle2_len, freqs, used, crc)
         data, nbits = blk.pack()
+        leg_samples.append(time.time() - t0)
         return crc, data, nbits
 
     def emit_devrefine(trans_out, i0, i1):
@@ -315,6 +322,7 @@ def _device_block_results(enc, arr, out, blocks):
         from ..native import mtf_rle2_native
 
         key, last = fetch_fut.result()
+        t0 = time.time()
         crc = block_crc(arr[i0:i1])
         res = mtf_rle2_native(last)
         if res is None:  # no native lib: numpy mirror
@@ -326,23 +334,27 @@ def _device_block_results(enc, arr, out, blocks):
             key, rle2, rle2.size, freqs, used, crc
         )
         data, nbits = blk.pack()
+        leg_samples.append(time.time() - t0)
         return crc, data, nbits
 
     import threading
     import time
 
-    # default 3x the core count: the CPU workers stall on memory (SA-IS is
-    # cache-bound) and the device path's host legs block on relay IO, so
-    # oversubscription fills the scheduler gaps. Measured on the 4-core rig
-    # (8MB -9): early-engine sweep kneed at 2x cores; after the SA-IS
-    # arena/u16/prefetch cuts the memory-latency-bound engine profits from
-    # deeper oversubscription — interleaved A/B: 2x cores 41.9 MB/s vs
-    # 3x 43.0 (and 4x collapses to 27), matching the pure-CPU engine's
-    # 3x-core knee. The steal_ok EMA guard still sheds workers whenever
-    # the device cadence beats the CPU block time.
+    from . import rigprofile
+
+    prof = rigprofile.load()
+    # worker count: env override > rig profile knee > generic default of
+    # 3x cores. Oversubscription is the generic shape for a memory-latency-
+    # bound engine (threads hide each other's DRAM stalls); the exact knee
+    # is rig-specific (one measured 4-core host kneed at 3x: 2x 41.9 MB/s,
+    # 3x 43.0, 4x collapses to 27) so the profile can store a measured one.
+    # The steal_ok EMA guard still sheds workers whenever the device
+    # cadence beats the CPU block time.
+    knee = float(prof.get("cpu_knee", 3))
     hybrid_n = int(
         os.environ.get(
-            "TPUBZ_HYBRID_CPU", str(min(3 * (os.cpu_count() or 4), 24))
+            "TPUBZ_HYBRID_CPU",
+            str(min(int(knee * (os.cpu_count() or 4)), 24)),
         )
     )
     cpu_pool = cpu_slots = None
@@ -368,6 +380,12 @@ def _device_block_results(enc, arr, out, blocks):
     dev_inflight = [0]  # blocks dispatched to the device, not yet emitted
     dev_lock = threading.Lock()  # += / -= race between dispatch and emits
     eff_cores = min(hybrid_n or 1, os.cpu_count() or 4)
+    leg_samples: list[float] = []  # host-side cost per device block (trains
+    # the rig profile's host_leg_s for the chosen stage)
+    # seed the live estimates from the last sessions' measurements so the
+    # first blocks of a fresh process are routed on rig data, not probes
+    if not _cpu_ema_g[0] and prof.get("cpu_block_s"):
+        _cpu_ema_g[0] = float(prof["cpu_block_s"])
 
     def cpu_one(o0, o1, i0, i1):
         t0 = time.time()
@@ -409,11 +427,14 @@ def _device_block_results(enc, arr, out, blocks):
         """Median gap between recent device completions. Gaps up to 5s are
         real samples — a glacial relay phase produces 1-3s blocks, exactly
         the regime device_ok must see to stop feeding the chip; only longer
-        gaps (device parked between streams) are discarded. None until 2
-        samples survive."""
+        gaps (device parked between streams) are discarded. Until 2 live
+        samples survive, falls back to the rig profile's persisted cadence
+        for the chosen stage (None when the rig has never measured one)."""
         ts = list(_dev_done_g)
         ds = sorted(b - a for a, b in zip(ts, ts[1:]) if b - a < 5.0)
-        return ds[len(ds) // 2] if ds else None
+        if ds:
+            return ds[len(ds) // 2]
+        return (prof.get("dev_cadence_s") or {}).get(stage)
 
     def device_ok(remaining: int) -> bool:
         cad = dev_cadence()
@@ -433,13 +454,23 @@ def _device_block_results(enc, arr, out, blocks):
         cad = dev_cadence() or 0.1  # no device sample: assume healthy
         return _cpu_ema_g[0] < cad * max(1, remaining + dev_inflight[0])
 
+    # stage choice: explicit env override wins; otherwise derive from the
+    # measured rig profile (falling back to "bwt" until both routes have
+    # been measured — the live arbitration trains the profile as it runs)
+    stage = DEVICE_STAGE
+    if stage == "auto":
+        stage = (
+            rigprofile.choose_stage(
+                prof, hybrid_n if cpu_pool is not None else 0, eff_cores
+            )
+            or "bwt"
+        )
     # bwt-only routing needs the split-chain stamp (the bwt stage is AOT
     # warmed as part of it) AND the native lib (host MTF/RLE2 on the
     # fetched last column would otherwise fall back to the per-symbol
     # pure-Python oracle — seconds per block); a cold cache or missing lib
     # falls back to the full device transform, which carries its own
     # compile-safe fallbacks
-    stage = DEVICE_STAGE
     if stage == "bwt":
         from ..block.encode import _probe_split_lean
         from ..native import get_lib
@@ -584,6 +615,19 @@ def _device_block_results(enc, arr, out, blocks):
                 yield pop_head()
         while inflight:
             yield pop_head(tail=True)
+        # train the rig profile with this stream's measurements (only
+        # fields that actually collected data; EMA-folded into the file)
+        ts = list(_dev_done_g)
+        live = sorted(b - a for a, b in zip(ts, ts[1:]) if b - a < 5.0)
+        rigprofile.update(
+            cpu_block_s=_cpu_ema_g[0],
+            dev_cadence_s={stage: live[len(live) // 2] if live else 0.0},
+            host_leg_s={
+                stage: sorted(leg_samples)[len(leg_samples) // 2]
+                if leg_samples
+                else 0.0
+            },
+        )
     finally:
         dispatch_pool.shutdown(wait=False)
         fetch_pool.shutdown(wait=False)
