@@ -194,6 +194,8 @@ def main():
 
     variants = {}
     for name, (s4, p64) in {
+        "r2style": (False, False),  # round-2 production: position-space
+        # fixpoint check (confirm round + write-back every round)
         "seed4": (True, False),
         "pack64": (False, True),
         "seed4_pack64": (True, True),

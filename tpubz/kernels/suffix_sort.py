@@ -67,7 +67,7 @@ def bwt_forward(
         b = jnp.roll(rank, nn - kp)      # rank[i + kp - n] when i >= n - kp
         return jnp.where(idx < nn - kp, a, b)
 
-    def one_round(rank, k):
+    def one_round(rank, prev_distinct, k):
         """4-ary doubling: sorting by (r[i], r[i+k], r[i+2k], r[i+3k])
         refines coverage k into 4k, halving the round count vs classic
         2-ary doubling (10 rounds instead of 19 at 900k). The extra sort
@@ -76,7 +76,19 @@ def bwt_forward(
         order: the last executed round's order IS the final suffix array
         (the sort is stable, so permanent ties — identical rotations —
         break by index exactly as a final (rank, idx) sort would), which
-        saves that whole extra 900k sort."""
+        saves that whole extra 900k sort.
+
+        Convergence is detected IN SORT SPACE, before the write-back:
+        distinct = class count of the refined partition, read straight off
+        the re-rank cumsum. distinct == n means this round's keys totally
+        ordered the rotations (cover-4k order IS the final order), and
+        distinct == prev_distinct means the partition stopped refining
+        (classes only ever split, so an unchanged count is an unchanged
+        partition — the classic doubling fixpoint, permanent ties). Both
+        fire one round EARLIER than the old position-space fixpoint check
+        (new_rank == rank needed a confirm round), and a round that decides
+        convergence skips its write-back sort entirely — together ~3 of the
+        10 sorts on a typical block."""
         r2 = jnp.where(valid, shifted(rank, k), PAD_RANK)
         r3 = jnp.where(valid, shifted(rank, 2 * k), PAD_RANK)
         r4 = jnp.where(valid, shifted(rank, 3 * k), PAD_RANK)
@@ -93,9 +105,23 @@ def bwt_forward(
             )
         )
         new_sorted = jnp.cumsum(flag)
-        # back to position space via sort-by-position (scatter-free)
-        _, new_rank = jax.lax.sort((order, new_sorted), num_keys=1)
-        return jnp.where(valid, new_rank, PAD_RANK), order
+        # valid lanes sort first (pads carry PAD_RANK keys), so the class
+        # count of the valid partition is the cumsum at the last valid slot
+        distinct = new_sorted[nn - 1] + 1
+        done_now = (distinct == nn) | (distinct == prev_distinct)
+
+        def write_back():
+            # back to position space via sort-by-position (scatter-free)
+            _, nr = jax.lax.sort((order, new_sorted), num_keys=1)
+            return jnp.where(valid, nr, PAD_RANK)
+
+        if skip_converged:
+            # a round that decides convergence never consumes its rank
+            # again — skip the write-back sort (real HLO branch)
+            new_rank = jax.lax.cond(done_now, lambda: rank, write_back)
+        else:
+            new_rank = jnp.where(done_now, rank, write_back())
+        return new_rank, order, distinct, done_now
 
     # initial rank: THREE bytes packed into one int32 (cyclic), so the
     # first sort round already refines cover-3 order into cover-6 — the
@@ -106,29 +132,43 @@ def bwt_forward(
     rank = jnp.where(valid, rank0, PAD_RANK)
 
     def body(i, carry):
-        rank, k, done, sa = carry
+        rank, k, done, sa, prevd = carry
         if skip_converged:
             # converged rounds skip the sorts entirely (real HLO branch)
-            new_rank, new_sa = jax.lax.cond(
+            new_rank, new_sa, newd, done_now = jax.lax.cond(
                 done,
-                lambda r, s: (r, s),
-                lambda r, s: one_round(r, k),
+                lambda r, s, p: (r, s, p, True),
+                lambda r, s, p: one_round(r, p, k),
                 rank,
                 sa,
+                prevd,
             )
         else:
-            new_rank, order = one_round(rank, k)
-            new_rank = jnp.where(done, rank, new_rank)
+            nr, order, distinct, done_now = one_round(rank, prevd, k)
+            new_rank = jnp.where(done, rank, nr)
             new_sa = jnp.where(done, sa, order)
-        done2 = done | jnp.all(new_rank == rank)
-        return new_rank, k * 4, done2, new_sa
+            newd = jnp.where(done, prevd, distinct)
+        done2 = done | done_now
+        return new_rank, k * 4, done2, new_sa, newd
 
     # round 1 always executes (done starts False), so sa is always the
     # order of the last round that refined anything — the final SA.
-    # (idx + (rank & 0) keeps the initial carry's mesh-axis variance equal
-    # to the loop output's under shard_map — a bare iota is unvarying.)
-    rank, _, _, sa = jax.lax.fori_loop(
-        0, ROUNDS, body, (rank, jnp.int32(3), n < 0, idx + (rank & 0))
+    # prev_distinct starts at -1 (no real class count equals it), so the
+    # stall check can't fire before a second data point exists.
+    # (idx + (rank & 0) and -1 + (rank[0] & 0) keep the initial carries'
+    # mesh-axis variance equal to the loop outputs' under shard_map — bare
+    # iotas/constants are unvarying while the loop outputs are data-derived.)
+    rank, _, _, sa, _ = jax.lax.fori_loop(
+        0,
+        ROUNDS,
+        body,
+        (
+            rank,
+            jnp.int32(3),
+            n < 0,
+            idx + (rank & 0),
+            jnp.int32(-1) + (rank[0] & 0),
+        ),
     )
     key = jnp.argmax((sa == 0) & valid).astype(jnp.int32)
     prev = jnp.where(sa == 0, n - 1, sa - 1)

@@ -227,6 +227,10 @@ def _host_block_results(enc, arr, out, blocks):
         data, nbits = blk.pack()
         return crc, data, nbits
 
+    last_stream_stats.clear()
+    last_stream_stats.update(
+        engine="cpu", blocks=len(blocks), dev_blocks=0, cpu_blocks=len(blocks)
+    )
     if workers == 1 or len(blocks) <= 1:
         for b in blocks:
             yield one(*b)
@@ -477,7 +481,11 @@ def _device_block_results(enc, arr, out, blocks):
 
         if not _probe_split_lean() or get_lib() is None:
             stage = "full"
+    n_dev = [0]  # blocks dispatched to each engine (phase attribution)
+    n_cpu = [0]
+
     def dispatch_device(o0, o1, i0, i1):
+        n_dev[0] += 1
         with dev_lock:
             dev_inflight[0] += 1
         blk = out[o0:o1]
@@ -596,6 +604,7 @@ def _device_block_results(enc, arr, out, blocks):
                 and steal_ok(n_total - idx)
                 and cpu_slots.acquire(blocking=False)
             ):
+                n_cpu[0] += 1
                 inflight.append(
                     (cpu_pool.submit(cpu_one, o0, o1, i0, i1), "cpu", None)
                 )
@@ -603,6 +612,7 @@ def _device_block_results(enc, arr, out, blocks):
             elif cpu_pool is not None and cpu_slots.acquire(timeout=0.5):
                 # all slots busy: waiting for a CPU slot beats force-feeding
                 # an engine the estimates just rejected
+                n_cpu[0] += 1
                 inflight.append(
                     (cpu_pool.submit(cpu_one, o0, o1, i0, i1), "cpu", None)
                 )
@@ -619,14 +629,25 @@ def _device_block_results(enc, arr, out, blocks):
         # fields that actually collected data; EMA-folded into the file)
         ts = list(_dev_done_g)
         live = sorted(b - a for a, b in zip(ts, ts[1:]) if b - a < 5.0)
+        leg_med = (
+            sorted(leg_samples)[len(leg_samples) // 2] if leg_samples else 0.0
+        )
         rigprofile.update(
             cpu_block_s=_cpu_ema_g[0],
             dev_cadence_s={stage: live[len(live) // 2] if live else 0.0},
-            host_leg_s={
-                stage: sorted(leg_samples)[len(leg_samples) // 2]
-                if leg_samples
-                else 0.0
-            },
+            host_leg_s={stage: leg_med},
+        )
+        # phase attribution for this stream (consumed by bench.py)
+        last_stream_stats.clear()
+        last_stream_stats.update(
+            engine="hybrid" if cpu_pool is not None else "device",
+            stage=stage,
+            blocks=n_total,
+            dev_blocks=n_dev[0],
+            cpu_blocks=n_cpu[0],
+            cpu_block_s=round(_cpu_ema_g[0], 4),
+            dev_cadence_s=round(live[len(live) // 2], 4) if live else None,
+            dev_host_leg_s=round(leg_med, 4),
         )
     finally:
         dispatch_pool.shutdown(wait=False)
