@@ -36,6 +36,17 @@ WINDOW = int(os.environ.get("TPUBZ_WINDOW", "16"))
 # trains the hybrid scheduler for the whole process); see device_ok/steal_ok
 _cpu_ema_g = [0.0]
 _dev_done_g: deque = deque(maxlen=8)
+# stream epoch: device completion gaps are only meaningful between blocks
+# of the SAME stream (an abandoned straggler from a previous stream that
+# resolves mid-stream would otherwise fabricate a fast cadence out of two
+# unrelated completions)
+_stream_epoch_g = [0]
+# one live device re-probe per process: when the persisted profile says the
+# device loses, a single probe block per process is the recovery path for a
+# healthy rig sitting behind a stale pessimistic profile (e.g. trained
+# during a glacial relay phase) — without it the device could stay off
+# forever; with more, a genuinely bad device taxes every stream
+_reprobe_left_g = [1]
 # phase attribution for the most recent device-path stream (bench.py emits
 # this into BENCH_r*.json so throughput swings are explainable: which engine
 # carried the blocks and what each engine's per-block cost measured)
@@ -369,6 +380,21 @@ def _device_block_results(enc, arr, out, blocks):
             cpu_pool = ThreadPoolExecutor(hybrid_n)
             cpu_slots = threading.Semaphore(hybrid_n)
     host_enc = _HostFallbackEncoder(enc.level)
+    # A hybrid only makes sense when the device is a SEPARATE compute
+    # resource. When jax's backend is the host CPU itself (no accelerator),
+    # every "device" dispatch steals the same cores the native engine uses
+    # — XLA-jnp loses to the native transform on identical silicon, so the
+    # device leg is pure overhead (measured 3-16x stream slowdowns). Route
+    # everything through the pool unless the user explicitly configured a
+    # hybrid (tests pin mixed-engine behavior that way).
+    dev_is_host = False
+    if cpu_pool is not None and "TPUBZ_HYBRID_CPU" not in os.environ:
+        try:
+            import jax
+
+            dev_is_host = jax.devices()[0].platform == "cpu"
+        except Exception:
+            pass
 
     # Symmetric adaptive arbitration. Both engines' speeds swing on this
     # class of host (bursty CPU allotment; relay/chip phases swing ~2-3x),
@@ -383,9 +409,18 @@ def _device_block_results(enc, arr, out, blocks):
     #   steal_ok: mirror guard for a throttled CPU worker.
     dev_inflight = [0]  # blocks dispatched to the device, not yet emitted
     dev_lock = threading.Lock()  # += / -= race between dispatch and emits
+    dev_strikes = [0]  # non-tail head blocks lost to their CPU twin: ground
+    # truth that a device dispatch HURT the stream; two strikes shut the
+    # device off for the rest of this stream regardless of estimates
+    _stream_epoch_g[0] += 1
+    epoch = _stream_epoch_g[0]
+    _dev_done_g.clear()  # per-stream gap state; cross-stream memory is the
+    # rig profile (trained at stream end), not stale completion timestamps
     eff_cores = min(hybrid_n or 1, os.cpu_count() or 4)
     leg_samples: list[float] = []  # host-side cost per device block (trains
     # the rig profile's host_leg_s for the chosen stage)
+    dev_lat_samples: list[float] = []  # dispatch->emit latency per device
+    # block (the cadence fallback when too few blocks ran for gap samples)
     # seed the live estimates from the last sessions' measurements so the
     # first blocks of a fresh process are routed on rig data, not probes
     if not _cpu_ema_g[0] and prof.get("cpu_block_s"):
@@ -405,11 +440,15 @@ def _device_block_results(enc, arr, out, blocks):
             )
             cpu_slots.release()
 
-    def _timed(fn, *args):
+    def _timed(fn, t_disp, *args):
         """Wrap a device-route emit: dev_inflight decrements even when the
         block errors (a healed error must not permanently suppress device
         dispatch), while cadence samples record only successes (an instant
-        failure would otherwise train a falsely fast cadence)."""
+        failure would otherwise train a falsely fast cadence). Also records
+        the block's dispatch->emit LATENCY: when a stream completes too few
+        device blocks for gap samples (e.g. a single probe block on a rig
+        whose 'device' is dreadful), the latency median is what trains the
+        profile — otherwise every future stream re-pays the probe block."""
         ok = False
         try:
             r = fn(*args)
@@ -418,14 +457,15 @@ def _device_block_results(enc, arr, out, blocks):
         finally:
             with dev_lock:
                 dev_inflight[0] -= 1
-            if ok:
+            if ok and _stream_epoch_g[0] == epoch:
                 _dev_done_g.append(time.time())
+                dev_lat_samples.append(time.time() - t_disp)
 
-    def emit_timed(fetch_fut, i0, i1):
-        return _timed(emit, fetch_fut, i0, i1)
+    def emit_timed(fetch_fut, t_disp, i0, i1):
+        return _timed(emit, t_disp, fetch_fut, i0, i1)
 
-    def emit_bwt_timed(fetch_fut, i0, i1):
-        return _timed(emit_bwt, fetch_fut, i0, i1)
+    def emit_bwt_timed(fetch_fut, t_disp, i0, i1):
+        return _timed(emit_bwt, t_disp, fetch_fut, i0, i1)
 
     def dev_cadence():
         """Median gap between recent device completions. Gaps up to 5s are
@@ -438,9 +478,19 @@ def _device_block_results(enc, arr, out, blocks):
         ds = sorted(b - a for a, b in zip(ts, ts[1:]) if b - a < 5.0)
         if ds:
             return ds[len(ds) // 2]
+        if dev_lat_samples:
+            # no gaps yet, but this process has latency evidence (a probe
+            # block that completed — or lost its duplication race): an
+            # overestimate of pipelined cadence, but live, so it outranks
+            # the persisted profile (a stale-pessimistic profile must lose
+            # to a fresh healthy measurement, and a fresh bad rig must stop
+            # after exactly one probe block)
+            return sorted(dev_lat_samples)[len(dev_lat_samples) // 2]
         return (prof.get("dev_cadence_s") or {}).get(stage)
 
     def device_ok(remaining: int) -> bool:
+        if dev_strikes[0] >= 2:
+            return False  # twice-proven liability this stream
         cad = dev_cadence()
         if cad is None:
             return dev_inflight[0] < 1  # single probe trains the estimate
@@ -450,7 +500,20 @@ def _device_block_results(enc, arr, out, blocks):
             return dev_inflight[0] < 2
         t_dev = cad * (dev_inflight[0] + 1)
         t_cpu = remaining * _cpu_ema_g[0] / eff_cores
-        return t_dev < t_cpu
+        if t_dev < t_cpu:
+            return True
+        # the estimates reject the device. If the rejection rests ONLY on
+        # the persisted profile (no live evidence this process), spend the
+        # process's single re-probe — stale pessimism must be refutable.
+        if (
+            _reprobe_left_g[0] > 0
+            and not dev_lat_samples
+            and len(_dev_done_g) < 2
+            and dev_inflight[0] == 0
+        ):
+            _reprobe_left_g[0] -= 1
+            return True
+        return False
 
     def steal_ok(remaining: int) -> bool:
         if not _cpu_ema_g[0]:
@@ -488,6 +551,7 @@ def _device_block_results(enc, arr, out, blocks):
         n_dev[0] += 1
         with dev_lock:
             dev_inflight[0] += 1
+        t_disp = time.time()
         blk = out[o0:o1]
         if stage == "bwt":
             # bwt-only route: the chip runs just the suffix sort (the
@@ -505,7 +569,7 @@ def _device_block_results(enc, arr, out, blocks):
             fetch_fut = fetch_pool.submit(
                 lambda: _materialize_bwt(launch_fut.result())
             )
-            f = emit_pool.submit(emit_bwt_timed, fetch_fut, i0, i1)
+            f = emit_pool.submit(emit_bwt_timed, fetch_fut, t_disp, i0, i1)
         elif DEVICE_REFINE:
             # fallback routes can hit a cold compile (stale persistent
             # cache after a kernel edit), so their jitted dispatch runs on
@@ -517,7 +581,8 @@ def _device_block_results(enc, arr, out, blocks):
                 lambda: _timed(
                     lambda: emit_devrefine(
                         enc.transform(blk, lean=False), i0, i1
-                    )
+                    ),
+                    t_disp,
                 )
             )
         else:
@@ -525,8 +590,8 @@ def _device_block_results(enc, arr, out, blocks):
             fetch_fut = fetch_pool.submit(
                 lambda: materialize(enc.transform(blk, lean=True))
             )
-            f = emit_pool.submit(emit_timed, fetch_fut, i0, i1)
-        inflight.append((f, "dev", (o0, o1, i0, i1)))
+            f = emit_pool.submit(emit_timed, fetch_fut, t_disp, i0, i1)
+        inflight.append((f, "dev", ((o0, o1, i0, i1), t_disp)))
         # queue-depth observability, mirroring the reference's RX queue
         # logging (compress.rs:81-85)
         log.debug("in-flight device blocks: %d", len(inflight))
@@ -541,6 +606,7 @@ def _device_block_results(enc, arr, out, blocks):
         relay latency."""
         fut, kind, args = inflight.popleft()
         if kind == "dev" and cpu_pool is not None:
+            args, t_disp = args
             if tail:
                 # stream tail: the CPU workers are idling, so a duplicate
                 # costs otherwise-unused cycles — don't grant the device
@@ -568,6 +634,23 @@ def _device_block_results(enc, arr, out, blocks):
                     pick = fut if (fut in done and not fut.exception()) else (
                         dup if dup in done else fut
                     )
+                    if pick is dup and not fut.done():
+                        # the twin beat a still-running device block: the
+                        # elapsed-so-far is only a LOWER bound on the device
+                        # latency (the abandoned future usually resolves
+                        # after the stream has trained the profile). Tail
+                        # races carry a 0.02s grace, so a healthy device
+                        # loses them routinely — record plain elapsed there;
+                        # a NON-tail loss means the device outlasted a real
+                        # 2x-cadence grace: strike it and record a 4x
+                        # pessimism penalty, so a device that loses its
+                        # duplication race argues its way back in through
+                        # the per-process re-probe, not flattering estimates
+                        if tail:
+                            dev_lat_samples.append(time.time() - t_disp)
+                        else:
+                            dev_strikes[0] += 1
+                            dev_lat_samples.append(4 * (time.time() - t_disp))
                     try:
                         return pick.result()
                     except Exception as pick_exc:
@@ -597,7 +680,7 @@ def _device_block_results(enc, arr, out, blocks):
             # block finishes before the CPU pool would reach the queue tail
             # — and none at all when the relay phase is slow enough that a
             # device block would BECOME the stream's tail.
-            if device_ok(n_total - idx):
+            if not dev_is_host and device_ok(n_total - idx):
                 dispatch_device(o0, o1, i0, i1)
             elif (
                 cpu_pool is not None
@@ -609,9 +692,12 @@ def _device_block_results(enc, arr, out, blocks):
                     (cpu_pool.submit(cpu_one, o0, o1, i0, i1), "cpu", None)
                 )
                 log.debug("in-flight blocks (cpu steal): %d", len(inflight))
-            elif cpu_pool is not None and cpu_slots.acquire(timeout=0.5):
+            elif cpu_pool is not None and cpu_slots.acquire(
+                timeout=None if dev_is_host else 0.5
+            ):
                 # all slots busy: waiting for a CPU slot beats force-feeding
-                # an engine the estimates just rejected
+                # an engine the estimates just rejected (and with the device
+                # disabled outright, the pool is the only engine — wait)
                 n_cpu[0] += 1
                 inflight.append(
                     (cpu_pool.submit(cpu_one, o0, o1, i0, i1), "cpu", None)
@@ -632,9 +718,26 @@ def _device_block_results(enc, arr, out, blocks):
         leg_med = (
             sorted(leg_samples)[len(leg_samples) // 2] if leg_samples else 0.0
         )
+        # cadence of record: completion-gap median when the stream pipelined
+        # enough device blocks; else the dispatch->emit latency median (an
+        # overestimate of pipelined cadence, but the only signal a
+        # one-probe-block stream produces — and exactly what stops a rig
+        # with a dreadful device from re-paying the probe every stream)
+        if live:
+            cad_train = live[len(live) // 2]
+        elif dev_lat_samples:
+            cad_train = sorted(dev_lat_samples)[len(dev_lat_samples) // 2]
+        else:
+            cad_train = 0.0
+        if dev_strikes[0] and dev_lat_samples:
+            # a stream with real head losses must not train a flattering
+            # cadence off bunched completion gaps
+            cad_train = max(
+                cad_train, sorted(dev_lat_samples)[len(dev_lat_samples) // 2]
+            )
         rigprofile.update(
             cpu_block_s=_cpu_ema_g[0],
-            dev_cadence_s={stage: live[len(live) // 2] if live else 0.0},
+            dev_cadence_s={stage: cad_train},
             host_leg_s={stage: leg_med},
         )
         # phase attribution for this stream (consumed by bench.py)
