@@ -105,7 +105,10 @@ def mtf_ranks(
     s_sym, s_idx, prev_g, next_g = _prev_next(sym, idx, N)
 
     # per-(chunk, symbol) last occurrence: flag last-in-chunk entries in the
-    # (sym, idx) sorted stream, one structured scatter into (nc, 257)
+    # (sym, idx) sorted stream, one structured scatter into (nc, 257).
+    # Marked entries hit unique (chunk, symbol) cells by construction (one
+    # last-entry per group), so this is a plain unique-index SET — measured
+    # ~1.5 ms cheaper than scatter-max on the real chip (PERFORMANCE.md r3)
     s_cid = s_idx // chunk
     nxt_diff = jnp.concatenate(
         ((s_sym[1:] != s_sym[:-1]) | (s_cid[1:] != s_cid[:-1]), jnp.ones(1, jnp.bool_))
@@ -115,7 +118,7 @@ def mtf_ranks(
     last_pos = (
         jnp.full((nc, 257), -1, jnp.int32)
         .at[tgt_c, tgt_s]
-        .max(s_idx, mode="drop")
+        .set(s_idx, mode="drop", unique_indices=True)
     )
     # exclusive running max over chunks = last occurrence before chunk start;
     # the scan's final row is the global last occurrence, so `used` is free
@@ -134,12 +137,19 @@ def mtf_ranks(
     # recency key of each position's own symbol at its chunk start: for
     # first-in-chunk positions prev_g IS the last occurrence before the
     # chunk (that's the only place keyi is consumed). First-EVER occurrences
-    # key by the symbol's initial rank — a standalone gather from the
-    # 257-entry table (pad symbol 256 -> ABSENT; value unused anyway).
-    irank_ext = jnp.concatenate(
-        (init_rank, jnp.full(1, ABSENT, jnp.int32))
-    )
-    keyi = jnp.where(prev_g >= 0, N - prev_g, 2 * N + irank_ext[sym]).reshape(
+    # key by the symbol's initial rank = #{used t < sym} — computed as a
+    # broadcast-compare count instead of a table gather: a 257-entry gather
+    # over 900k indices measured ~7.8 ms in-graph on the real chip, the
+    # (nc, chunk, 256) compare-reduce ~1 ms (PERFORMANCE.md r3). Pad lanes
+    # (sym == 256) count every used symbol; their value is never consumed.
+    irank_pos = jnp.sum(
+        used[None, None, :]
+        & (jnp.arange(256, dtype=jnp.int32)[None, None, :]
+           < sym.reshape(nc, chunk)[:, :, None]),
+        axis=-1,
+        dtype=jnp.int32,
+    ).reshape(N)
+    keyi = jnp.where(prev_g >= 0, N - prev_g, 2 * N + irank_pos).reshape(
         nc, chunk
     )
     lprev = jnp.where(prev_g >= cstart, prev_g - cstart, -1).reshape(nc, chunk)
@@ -188,10 +198,20 @@ def mtf_ranks_batch(
     )
 
     # prev/next same-block by construction (equal symk implies equal block);
-    # the initial rank of each position's symbol is a standalone gather
-    # from the per-block init_rank table (namespaced symk indexes it flat)
+    # the initial rank of each position's symbol = #{used t < sym} in its
+    # block, computed as a broadcast-compare count (same reformulation as
+    # the single-block path: big gathers are ~7 ms in-graph on TPU)
     s_key, s_idx, prev_g, next_g = _prev_next(symk, flat_idx, M)
-    irank_pos = init_rank.reshape(B * 256)[symk]
+    used_rows = jnp.broadcast_to(used[:, None, :], (B, nc, 256)).reshape(
+        B * nc, 256
+    )
+    irank_pos = jnp.sum(
+        used_rows[:, None, :]
+        & (jnp.arange(256, dtype=jnp.int32)[None, None, :]
+           < sym.reshape(B * nc, chunk)[:, :, None]),
+        axis=-1,
+        dtype=jnp.int32,
+    ).reshape(M)
 
     # per-(global chunk, symbol) last occurrence (chunks never span blocks)
     s_cid = s_idx // chunk
@@ -206,7 +226,7 @@ def mtf_ranks_batch(
     last_pos = (
         jnp.full((B * nc, 256), -1, jnp.int32)
         .at[tgt_c, tgt_s]
-        .max(s_idx, mode="drop")
+        .set(s_idx, mode="drop", unique_indices=True)
     )
     # exclusive running max over chunks, RESET per block; positions are
     # global flat indices — subtract the block base so keys stay < 2N

@@ -8,12 +8,18 @@ re-ranking by cumsum of adjacent-difference flags. Ranks compose mod n, so
 *rotation* (wraparound) order falls out naturally and the reference's
 Duval-rotation SA-IS workaround (sais_fallback.rs:582-620) is unnecessary.
 
-Performance-critical formulation detail: inside compiled loops this backend
-executes arbitrary gathers/scatters orders of magnitude slower than sorts and
-rolls, so each round avoids them entirely:
+Performance-critical formulation detail: on TPU, arbitrary 900k gathers and
+scatters measure ~7 ms and ~4.5 ms in-graph while a 2-operand 900k sort is
+~1.1 ms (PERFORMANCE.md r3 marginal probes), so the kernel avoids them
+entirely:
   - the mod-n shifted-rank lookup is two dynamic rolls + a select;
   - the rank write-back to position space is a sort keyed by position
-    instead of a scatter.
+    instead of a scatter;
+  - the final last-column extraction is ONE stable 2-operand sort keyed by
+    the shifted final rank (last[pos(rotation j+1)] = data[j]) instead of a
+    data[sa-1] gather, and the block key is a compare-count — which also
+    drops the suffix-array carry from the loop (one less 900k array copied
+    through every converged round's identity branch).
 The loop body is a fixed-trip `fori_loop` (while_loop has pathological
 per-iteration overhead here) with converged rounds frozen via select, and
 the initial rank packs THREE bytes into one int32 key (cover 3 before the
@@ -72,23 +78,22 @@ def bwt_forward(
         refines coverage k into 4k, halving the round count vs classic
         2-ary doubling (10 rounds instead of 19 at 900k). The extra sort
         operands cost far less than extra rounds: per-round traffic grows
-        ~40% while the round count halves. Also returns the round's sort
-        order: the last executed round's order IS the final suffix array
-        (the sort is stable, so permanent ties — identical rotations —
-        break by index exactly as a final (rank, idx) sort would), which
-        saves that whole extra 900k sort.
+        ~40% while the round count halves.
 
         Convergence is detected IN SORT SPACE, before the write-back:
         distinct = class count of the refined partition, read straight off
         the re-rank cumsum. distinct == n means this round's keys totally
-        ordered the rotations (cover-4k order IS the final order), and
-        distinct == prev_distinct means the partition stopped refining
-        (classes only ever split, so an unchanged count is an unchanged
-        partition — the classic doubling fixpoint, permanent ties). Both
-        fire one round EARLIER than the old position-space fixpoint check
-        (new_rank == rank needed a confirm round), and a round that decides
-        convergence skips its write-back sort entirely — together ~3 of the
-        10 sorts on a typical block."""
+        ordered the rotations (its write-back rank is dense final
+        positions), and distinct == prev_distinct means the partition
+        stopped refining (classes only ever split, so an unchanged count is
+        an unchanged partition — the classic doubling fixpoint, permanent
+        ties). A STALL round skips its write-back sort: the previous
+        round's rank already encodes the identical partition, and rank is
+        only ever consumed as a sort key. A distinct==n round DOES write
+        back — the final (key, last) extraction below reads rank directly,
+        which is what lets the loop drop the suffix-array carry and the
+        900k last-column gather entirely (measured ~7 ms in-graph on the
+        real chip vs ~1 ms for the sort that replaces it)."""
         r2 = jnp.where(valid, shifted(rank, k), PAD_RANK)
         r3 = jnp.where(valid, shifted(rank, 2 * k), PAD_RANK)
         r4 = jnp.where(valid, shifted(rank, 3 * k), PAD_RANK)
@@ -108,7 +113,8 @@ def bwt_forward(
         # valid lanes sort first (pads carry PAD_RANK keys), so the class
         # count of the valid partition is the cumsum at the last valid slot
         distinct = new_sorted[nn - 1] + 1
-        done_now = (distinct == nn) | (distinct == prev_distinct)
+        stalled = distinct == prev_distinct
+        done_now = (distinct == nn) | stalled
 
         def write_back():
             # back to position space via sort-by-position (scatter-free)
@@ -116,12 +122,12 @@ def bwt_forward(
             return jnp.where(valid, nr, PAD_RANK)
 
         if skip_converged:
-            # a round that decides convergence never consumes its rank
-            # again — skip the write-back sort (real HLO branch)
-            new_rank = jax.lax.cond(done_now, lambda: rank, write_back)
+            # a stall round never refines — skip the write-back sort
+            # (real HLO branch)
+            new_rank = jax.lax.cond(stalled, lambda: rank, write_back)
         else:
-            new_rank = jnp.where(done_now, rank, write_back())
-        return new_rank, order, distinct, done_now
+            new_rank = jnp.where(stalled, rank, write_back())
+        return new_rank, distinct, done_now
 
     # initial rank: THREE bytes packed into one int32 (cyclic), so the
     # first sort round already refines cover-3 order into cover-6 — the
@@ -132,45 +138,46 @@ def bwt_forward(
     rank = jnp.where(valid, rank0, PAD_RANK)
 
     def body(i, carry):
-        rank, k, done, sa, prevd = carry
+        rank, k, done, prevd = carry
         if skip_converged:
             # converged rounds skip the sorts entirely (real HLO branch)
-            new_rank, new_sa, newd, done_now = jax.lax.cond(
+            new_rank, newd, done_now = jax.lax.cond(
                 done,
-                lambda r, s, p: (r, s, p, True),
-                lambda r, s, p: one_round(r, p, k),
+                lambda r, p: (r, p, True),
+                lambda r, p: one_round(r, p, k),
                 rank,
-                sa,
                 prevd,
             )
         else:
-            nr, order, distinct, done_now = one_round(rank, prevd, k)
+            nr, distinct, done_now = one_round(rank, prevd, k)
             new_rank = jnp.where(done, rank, nr)
-            new_sa = jnp.where(done, sa, order)
             newd = jnp.where(done, prevd, distinct)
         done2 = done | done_now
-        return new_rank, k * 4, done2, new_sa, newd
+        return new_rank, k * 4, done2, newd
 
-    # round 1 always executes (done starts False), so sa is always the
-    # order of the last round that refined anything — the final SA.
     # prev_distinct starts at -1 (no real class count equals it), so the
     # stall check can't fire before a second data point exists.
-    # (idx + (rank & 0) and -1 + (rank[0] & 0) keep the initial carries'
-    # mesh-axis variance equal to the loop outputs' under shard_map — bare
-    # iotas/constants are unvarying while the loop outputs are data-derived.)
-    rank, _, _, sa, _ = jax.lax.fori_loop(
+    # (-1 + (rank[0] & 0) keeps the initial carry's mesh-axis variance
+    # equal to the loop outputs' under shard_map — bare constants are
+    # unvarying while the loop outputs are data-derived.)
+    rank, _, _, _ = jax.lax.fori_loop(
         0,
         ROUNDS,
         body,
-        (
-            rank,
-            jnp.int32(3),
-            n < 0,
-            idx + (rank & 0),
-            jnp.int32(-1) + (rank[0] & 0),
-        ),
+        (rank, jnp.int32(3), n < 0, jnp.int32(-1) + (rank[0] & 0)),
     )
-    key = jnp.argmax((sa == 0) & valid).astype(jnp.int32)
-    prev = jnp.where(sa == 0, n - 1, sa - 1)
-    last = jnp.where(valid, data[prev], 0).astype(jnp.uint8)
+    # rank is position-consistent (dense positions after a distinct==n
+    # round; otherwise classes of IDENTICAL rotations sharing a value).
+    # Rotation 0's sorted position = #rotations strictly before it; its
+    # within-class ties all have larger indices, so the class count is
+    # exact. The last column satisfies last[pos(rotation j+1)] = data[j],
+    # so ONE stable 2-operand sort keyed by rank[(j+1) mod n] produces it
+    # directly — within a tie class all rotations share their final
+    # character (ties = identical rotations = periodic strings), so the
+    # stable j-order inside a class is byte-equivalent to true SA order.
+    key = jnp.sum(valid & (rank < rank[0]), dtype=jnp.int32)
+    k1 = jnp.where(valid, shifted(rank, 1), PAD_RANK)
+    _, last = jax.lax.sort(
+        (k1, jnp.where(valid, data, 0).astype(jnp.uint8)), num_keys=1
+    )
     return key, last
