@@ -102,6 +102,69 @@ def test_stream_trains_profile(rng, monkeypatch):
     ) > 0
 
 
+def test_short_stream_latency_does_not_pollute_gap_trained_cadence(
+    rng, monkeypatch
+):
+    """A short hybrid stream drains its 1-2 device blocks at the tail, so
+    its only device signal is unpipelined dispatch->emit latency — a 5-10x
+    overestimate of pipelined cadence. Such a stream must NOT worsen a
+    gap-trained cadence: before this guard, every bench stream EMA'd the
+    profile's bwt cadence toward its own latency (measured 0.083 -> 0.275 s
+    across one run) and each stream made the next one distrust a healthy
+    device."""
+    monkeypatch.setenv("TPUBZ_MIN_DEVICE_BLOCKS", "1")
+    monkeypatch.setenv("TPUBZ_HYBRID_CPU", "4")
+    import tpubz.stream.api as api
+    from tpubz.block import encode as E
+
+    monkeypatch.setattr(E, "_split_ok", True)
+    monkeypatch.setattr(api, "_cpu_ema_g", [0.0])
+    api._dev_done_g.clear()
+    # a healthy, gap-trained cadence from a previous pipelined stream
+    rigprofile.update(
+        cpu_block_s=0.10,
+        dev_cadence_s={"bwt": 0.045},
+        host_leg_s={"bwt": 0.02},
+    )
+    d = b"short stream cadence guard corpus " * 8000 + bytes(
+        rng.integers(0, 256, 120000, dtype=np.uint8)
+    )
+    out = api.compress(d, 1)
+    from tpubz.hostref.stream import compress as oracle
+
+    assert out == oracle(d, 1)
+    rigprofile.reset_memo()
+    p = rigprofile.load()
+    # the cadence may improve (live gaps) but must not degrade from
+    # latency-only evidence on a strike-free stream
+    assert p["dev_cadence_s"]["bwt"] <= 0.045 + 1e-9
+
+
+def test_first_contact_still_trains_cadence_from_latency(rng, monkeypatch):
+    """The latency gate must not break first contact: a rig whose profile
+    has never measured this stage records the latency median (the only
+    signal a one-probe-block stream produces) so a dreadful device stops
+    being re-probed every stream."""
+    monkeypatch.setenv("TPUBZ_MIN_DEVICE_BLOCKS", "1")
+    monkeypatch.setenv("TPUBZ_HYBRID_CPU", "4")
+    import tpubz.stream.api as api
+    from tpubz.block import encode as E
+
+    monkeypatch.setattr(E, "_split_ok", True)
+    monkeypatch.setattr(api, "_cpu_ema_g", [0.0])
+    api._dev_done_g.clear()
+    d = b"first contact corpus " * 8000
+    out = api.compress(d, 1)
+    from tpubz.hostref.stream import compress as oracle
+
+    assert out == oracle(d, 1)
+    rigprofile.reset_memo()
+    p = rigprofile.load()
+    # some device signal was persisted for the stage the stream chose
+    # (gap-trained if it pipelined, else the latency fallback)
+    assert (p.get("dev_cadence_s") or {}).get("bwt", 0) > 0
+
+
 def test_stage_auto_reads_profile(rng, monkeypatch):
     """With TPUBZ_DEVICE_STAGE unset (auto), the stream consults the
     profile's measured economics; a throttled-host profile must route the

@@ -719,13 +719,22 @@ def _device_block_results(enc, arr, out, blocks):
             sorted(leg_samples)[len(leg_samples) // 2] if leg_samples else 0.0
         )
         # cadence of record: completion-gap median when the stream pipelined
-        # enough device blocks; else the dispatch->emit latency median (an
-        # overestimate of pipelined cadence, but the only signal a
-        # one-probe-block stream produces — and exactly what stops a rig
-        # with a dreadful device from re-paying the probe every stream)
+        # enough device blocks. Latency medians (dispatch->emit, including
+        # tail-race losses' elapsed-so-far) overestimate pipelined cadence
+        # 5-10x on short streams, so they train the PERSISTED cadence only
+        # when they're the rig's first signal for this stage or when the
+        # stream recorded real head losses (strikes — a degraded device
+        # must still argue the profile up). Without this gate, every short
+        # hybrid stream (1-2 probe blocks, all drained at the tail) EMAs a
+        # healthy gap-trained cadence toward its own unpipelined latency,
+        # and each stream makes the next one distrust the device — measured
+        # as the profile walking 0.083 -> 0.275 s across one bench run
+        # while device-only steady state held ~0.045 s/block.
         if live:
             cad_train = live[len(live) // 2]
-        elif dev_lat_samples:
+        elif dev_lat_samples and (
+            dev_strikes[0] or stage not in (prof.get("dev_cadence_s") or {})
+        ):
             cad_train = sorted(dev_lat_samples)[len(dev_lat_samples) // 2]
         else:
             cad_train = 0.0
