@@ -269,6 +269,57 @@ def test_device_straggler_duplicated_onto_cpu(rng, monkeypatch, route):
     assert wall < 7.0, f"stream waited on the wedged device ({wall:.1f}s)"
 
 
+def test_strike_inflated_cadence_cannot_stall_the_stream(
+    rng, monkeypatch, tmp_path
+):
+    """One awful phase can strike-inflate the persisted device cadence (4x
+    penalty on a multi-second block -> 12.5 s). The straggler guard's grace
+    is 2x cadence, so an unclamped grace would wait 25 s on one wedged
+    re-probe block — measured as 24 MB hybrid trials running 10-12 s vs
+    0.7 s CPU-only. The grace must be bounded by the CPU alternative's cost
+    scale regardless of what the profile claims."""
+    import time
+
+    from tpubz.stream import rigprofile
+
+    monkeypatch.setenv("TPUBZ_MIN_DEVICE_BLOCKS", "1")
+    monkeypatch.setenv("TPUBZ_HYBRID_CPU", "8")
+    monkeypatch.setenv("TPUBZ_JAX_CACHE", str(tmp_path))
+    import tpubz.stream.api as api
+    from tpubz.block import encode as E
+    from tpubz.block.encode import DeviceBlockEncoder
+
+    monkeypatch.setattr(E, "_split_ok", True)
+    monkeypatch.setattr(api, "_cpu_ema_g", [0.0])
+    monkeypatch.setattr(api, "_reprobe_left_g", [1])
+    api._dev_done_g.clear()
+    rigprofile.reset_memo()
+    rigprofile.update(
+        cpu_block_s=0.08,
+        dev_cadence_s={"bwt": 12.5},
+        host_leg_s={"bwt": 0.02},
+    )
+
+    def wedge(self, blk, **kw):
+        time.sleep(8.0)
+        raise RuntimeError("device wedged")
+
+    monkeypatch.setattr(DeviceBlockEncoder, "transform_bwt", wedge)
+    monkeypatch.setattr(DeviceBlockEncoder, "transform", wedge)
+    # >WINDOW blocks so the wedged re-probe block is drained mid-stream
+    # (non-tail pop — the path whose grace the clamp bounds)
+    d = b"grace clamp corpus " * 60_000 + bytes(
+        rng.integers(0, 256, 800_000, dtype=np.uint8)
+    )
+    t0 = time.time()
+    out = api.compress(d, 1)
+    wall = time.time() - t0
+    rigprofile.reset_memo()
+    assert decompress(out) == d
+    assert out == host_compress(d, 1)
+    assert wall < 7.0, f"grace honored the absurd cadence ({wall:.1f}s)"
+
+
 def test_device_fast_error_healed_by_cpu_twin(rng, monkeypatch):
     """A device block that FAILS INSTANTLY (within the grace window) must be
     healed by the CPU twin exactly like a straggler — a transient fast

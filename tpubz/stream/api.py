@@ -521,6 +521,13 @@ def _device_block_results(enc, arr, out, blocks):
         cad = dev_cadence() or 0.1  # no device sample: assume healthy
         return _cpu_ema_g[0] < cad * max(1, remaining + dev_inflight[0])
 
+    def _dev_hopeless() -> bool:
+        """Device cadence so far past the CPU alternative that even
+        overflow dispatch (saturated pool) shouldn't feed it — one such
+        block becomes the stream head and costs its whole grace window."""
+        cad = dev_cadence()
+        return cad is not None and cad > max(3 * (_cpu_ema_g[0] or 0.4), 2.0)
+
     # stage choice: explicit env override wins; otherwise derive from the
     # measured rig profile (falling back to "bwt" until both routes have
     # been measured — the live arbitration trains the profile as it runs)
@@ -616,6 +623,13 @@ def _device_block_results(enc, arr, out, blocks):
             else:
                 cad = dev_cadence()
                 grace = max(2 * cad, 0.25) if cad is not None else 0.5
+                # the grace must never exceed the cost scale of the CPU
+                # alternative it's deferring: a strike-inflated cadence
+                # (e.g. 12.5 s after one awful phase) would otherwise grant
+                # a 25 s grace — measured as 24 MB hybrid trials stalling at
+                # 10-12 s on ONE overflow-dispatched device block while
+                # CPU-only ran 0.7 s
+                grace = min(grace, max(1.0, 3 * (_cpu_ema_g[0] or 0.4)))
             try:
                 return fut.result(timeout=grace)
             except Exception as dev_exc:
@@ -693,19 +707,23 @@ def _device_block_results(enc, arr, out, blocks):
                 )
                 log.debug("in-flight blocks (cpu steal): %d", len(inflight))
             elif cpu_pool is not None and cpu_slots.acquire(
-                timeout=None if dev_is_host else 0.5
+                timeout=None
+                if dev_is_host or dev_strikes[0] >= 2 or _dev_hopeless()
+                else 0.5
             ):
                 # all slots busy: waiting for a CPU slot beats force-feeding
                 # an engine the estimates just rejected (and with the device
-                # disabled outright, the pool is the only engine — wait)
+                # disabled outright — or measured hopeless — the pool is
+                # the only engine worth feeding: wait indefinitely; slots
+                # always free because cpu_one releases in a finally)
                 n_cpu[0] += 1
                 inflight.append(
                     (cpu_pool.submit(cpu_one, o0, o1, i0, i1), "cpu", None)
                 )
             else:
-                # no CPU pool (or it stayed saturated past the wait):
-                # overflow to the device; the ordered drain applies the
-                # remaining backpressure
+                # no CPU pool (or it stayed saturated past the wait and the
+                # device still looks usable): overflow to the device; the
+                # ordered drain applies the remaining backpressure
                 dispatch_device(o0, o1, i0, i1)
             if len(inflight) >= WINDOW:
                 yield pop_head()
@@ -744,6 +762,11 @@ def _device_block_results(enc, arr, out, blocks):
             cad_train = max(
                 cad_train, sorted(dev_lat_samples)[len(dev_lat_samples) // 2]
             )
+        # cap at the gap filter's 5 s boundary: anything above already means
+        # "device unusable", and an uncapped strike-inflated value (4x
+        # penalty on an awful-phase block) poisons grace windows and stage
+        # scoring far beyond what any later evidence can quickly heal
+        cad_train = min(cad_train, 5.0)
         rigprofile.update(
             cpu_block_s=_cpu_ema_g[0],
             dev_cadence_s={stage: cad_train},
