@@ -74,11 +74,16 @@ def update(**samples: float | dict) -> None:
                     fold(dst.setdefault(k, {}), v)
                 elif v and v > 0:
                     old = dst.get(k)
-                    dst[k] = (
-                        v
-                        if not isinstance(old, (int, float)) or old <= 0
-                        else (1 - _EMA) * old + _EMA * v
-                    )
+                    if not isinstance(old, (int, float)) or old <= 0:
+                        dst[k] = v
+                    else:
+                        # regime change: a fresh measurement 5x away from
+                        # the stored value marks a different operating
+                        # point (phase shift, healed relay, one poisoned
+                        # sample) — converge in 1-2 streams instead of
+                        # creeping at the outlier-resistant weight
+                        w = _EMA if old / 5 <= v <= old * 5 else 0.7
+                        dst[k] = (1 - w) * old + w * v
         fold(_CACHE, samples)
         _CACHE["updated_at"] = time.time()
         try:
