@@ -141,6 +141,14 @@ def main():
     # trial swings explainable (chip/link phase vs host-CPU phase)
     from tpubz.stream.api import last_stream_stats
 
+    def _decode_stats():
+        try:
+            from tpubz.stream.decode import last_decode_stats
+
+            return dict(last_decode_stats)
+        except Exception:
+            return {}
+
     result = {
         "metric": "encode_GBps_mixed_-9_1chip",
         "value": round(gbps, 4),
@@ -159,6 +167,7 @@ def main():
         "decode_best_MBps": round(dec_mbps_best, 2),
         "roundtrip_ok": ok,
         "phase_profile": dict(last_stream_stats),
+        "decode_phase_profile": _decode_stats(),
     }
     print(json.dumps(result))
     if not ok:

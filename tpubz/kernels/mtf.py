@@ -113,12 +113,15 @@ def mtf_ranks(
     nxt_diff = jnp.concatenate(
         ((s_sym[1:] != s_sym[:-1]) | (s_cid[1:] != s_cid[:-1]), jnp.ones(1, jnp.bool_))
     )
-    tgt_c = jnp.where(nxt_diff, s_cid, nc)
-    tgt_s = jnp.where(nxt_diff, s_sym, 0)
+    # flat 1-D target index: a 2-D-indexed scatter lowers measurably worse
+    # than the same scatter with a precomputed flat index (~6 vs ~4.5 ms
+    # in-graph at this shape)
+    tgt = jnp.where(nxt_diff, s_cid * 257 + s_sym, nc * 257)
     last_pos = (
-        jnp.full((nc, 257), -1, jnp.int32)
-        .at[tgt_c, tgt_s]
+        jnp.full(nc * 257, -1, jnp.int32)
+        .at[tgt]
         .set(s_idx, mode="drop", unique_indices=True)
+        .reshape(nc, 257)
     )
     # exclusive running max over chunks = last occurrence before chunk start;
     # the scan's final row is the global last occurrence, so `used` is free
@@ -221,12 +224,12 @@ def mtf_ranks_batch(
             jnp.ones(1, jnp.bool_),
         )
     )
-    tgt_c = jnp.where(nxt_diff, s_cid, B * nc)
-    tgt_s = jnp.where(nxt_diff, s_key % 256, 0)
+    tgt = jnp.where(nxt_diff, s_cid * 256 + s_key % 256, B * nc * 256)
     last_pos = (
-        jnp.full((B * nc, 256), -1, jnp.int32)
-        .at[tgt_c, tgt_s]
+        jnp.full(B * nc * 256, -1, jnp.int32)
+        .at[tgt]
         .set(s_idx, mode="drop", unique_indices=True)
+        .reshape(B * nc, 256)
     )
     # exclusive running max over chunks, RESET per block; positions are
     # global flat indices — subtract the block base so keys stay < 2N

@@ -27,6 +27,13 @@ from ..format.crc import block_crc, stream_crc_fold
 from ..hostref.bitio import BitReader
 from ..hostref.block import decode_block
 
+# phase attribution for the most recent stream decode (bench.py emits this
+# into BENCH_r*.json next to the encode phase profile): which engine decoded,
+# how many blocks, and how many pre-decoded in parallel vs fell to the
+# serial walk — decode swings on this rig are host-CPU-phase-driven and
+# this says so in the artifact
+last_decode_stats: dict = {}
+
 
 def find_magic_bit_offsets(data: bytes, magic: int = BLOCK_MAGIC) -> np.ndarray:
     """All bit offsets where the 48-bit magic occurs (native scan with a
@@ -174,6 +181,14 @@ def _decompress_one(data: bytes) -> tuple[bytes, int]:
             for f in futures.values():
                 f.cancel()
             ex.shutdown(wait=False)
+    last_decode_stats.clear()
+    last_decode_stats.update(
+        engine="native" if use_native else (
+            "python+device-ibwt" if DEVICE_IBWT else "python"
+        ),
+        blocks=len(parts),
+        parallel_candidates=len(futures),
+    )
     return b"".join(p.tobytes() for p in parts), (pos + 7) // 8
 
 
