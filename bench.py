@@ -106,6 +106,23 @@ def main():
     # the timed trials measure the steady-state pipeline (thread pools
     # spawned, caches hot, relay connection warmed)
     compress(corpus[: 64 * 1024], level)
+    # measurement hygiene: one short DEVICE-ONLY pass trains the rig
+    # profile's cadence from real pipelined completion GAPS — the hybrid's
+    # short streams drain their 1-2 device blocks at the tail and can only
+    # produce unpipelined latency (a 5-10x overestimate the trainer
+    # rightly distrusts), so without this the timed trials route on stale
+    # or first-contact guesses instead of this phase's actual device speed
+    _prev_hybrid = os.environ.get("TPUBZ_HYBRID_CPU")
+    try:
+        os.environ["TPUBZ_HYBRID_CPU"] = "0"
+        compress(corpus[: 4 * 1024 * 1024], level)
+    except Exception:
+        pass
+    finally:
+        if _prev_hybrid is None:
+            os.environ.pop("TPUBZ_HYBRID_CPU", None)
+        else:
+            os.environ["TPUBZ_HYBRID_CPU"] = _prev_hybrid
     compress(corpus, level)
 
     enc_times = []
