@@ -27,6 +27,33 @@ def test_multihost_singleprocess_matches_hostref(rng):
     assert decompress(got) == d
 
 
+def test_multihost_decode_singleprocess(rng):
+    """decompress_multihost single-process: same candidate-partition +
+    stitch code path as the pod run (allgather degenerates), incl. a
+    concatenated pair of streams at different levels."""
+    from tpubz.dist.multihost import decompress_multihost
+    from tpubz.hostref.stream import compress
+
+    d = _mixed_input(rng)
+    s1 = compress(d, 1)  # multi-block at level 1 (budget ~100k)
+    assert decompress_multihost(s1) == d
+
+    d2 = b"concat tail " * 400
+    s2 = compress(d2, 9)
+    assert decompress_multihost(s1 + s2) == d + d2
+
+
+def test_multihost_decode_rejects_corruption(rng):
+    from tpubz.dist.multihost import decompress_multihost
+    from tpubz.hostref.stream import compress
+
+    d = _mixed_input(rng)
+    s = bytearray(compress(d, 1))
+    s[len(s) // 2] ^= 0x40  # flip a payload bit
+    with pytest.raises(ValueError):
+        decompress_multihost(bytes(s))
+
+
 WORKER = r"""
 import os, sys
 os.environ["JAX_PLATFORMS"] = "cpu"
@@ -49,6 +76,66 @@ if pid == 0:
     # write to a file: Gloo prints rank-connection logs to stdout
     open(sys.argv[3], "wb").write(out)
 """
+
+
+WORKER_DECODE = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid = int(sys.argv[1])
+nproc = int(sys.argv[4])
+jax.distributed.initialize(sys.argv[2], num_processes=nproc, process_id=pid)
+import numpy as np
+rng = np.random.default_rng(321)
+n = 260_000
+d = (bytes(rng.integers(0, 200, n // 2, dtype=np.uint8))
+     + b"m" * (n // 4)
+     + bytes(rng.integers(0, 8, n // 4, dtype=np.uint8)))
+from tpubz.hostref.stream import compress
+from tpubz.dist.multihost import decompress_multihost
+raw = decompress_multihost(compress(d, 1))
+if pid == 0:
+    assert raw == d, "multihost decode mismatch"
+    open(sys.argv[3], "wb").write(raw)
+else:
+    assert raw is None
+"""
+
+
+@pytest.mark.slow
+def test_multihost_decode_2_processes(tmp_path):
+    """Real 2-process jax.distributed decode: candidates pre-decode on both
+    processes, gathered payloads stitch on process 0, byte-identical."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER_DECODE)
+    coord = "localhost:12417"
+    out_file = tmp_path / "out.raw"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(i), coord, str(out_file), "2"],
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.PIPE,
+            env=env,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=240) for p in procs]
+    for p, (o, e) in zip(procs, outs):
+        assert p.returncode == 0, e.decode()[-2000:]
+    rng = np.random.default_rng(321)
+    n = 260_000
+    d = (
+        bytes(rng.integers(0, 200, n // 2, dtype=np.uint8))
+        + b"m" * (n // 4)
+        + bytes(rng.integers(0, 8, n // 4, dtype=np.uint8))
+    )
+    assert out_file.read_bytes() == d
 
 
 @pytest.mark.slow
