@@ -176,3 +176,64 @@ def test_multihost_n_processes(tmp_path, nproc, port):
 
     assert stream == compress(d, 1)
     assert decompress(stream) == d
+
+
+WORKER_SKEW = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+os.environ["TPUBZ_MULTIHOST_WINDOW"] = "2"  # force several gather windows
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid = int(sys.argv[1])
+nproc = int(sys.argv[4])
+jax.distributed.initialize(sys.argv[2], num_processes=nproc, process_id=pid)
+import numpy as np
+rng = np.random.default_rng(77)
+# skewed blocks: long zero runs RLE1-compress ~50x, so decoded block sizes
+# swing from ~2 KB to ~5 MB across the stream — the pad-to-global-max
+# gather this exercises used to inflate every row to the largest block
+d = (b"\x00" * 5_000_000
+     + bytes(rng.integers(0, 250, 150_000, dtype=np.uint8))
+     + b"z" * 2_000_000
+     + bytes(rng.integers(0, 250, 120_000, dtype=np.uint8)))
+from tpubz.hostref.stream import compress
+from tpubz.dist.multihost import compress_multihost, decompress_multihost
+stream = compress_multihost(d, 1)
+raw = decompress_multihost(compress(d, 1))
+if pid == 0:
+    assert stream == compress(d, 1), "skewed multihost encode mismatch"
+    assert raw == d, "skewed multihost decode mismatch"
+    open(sys.argv[3], "wb").write(b"ok")
+else:
+    assert stream is None and raw is None
+"""
+
+
+@pytest.mark.slow
+def test_multihost_skewed_blocks_2_processes(tmp_path):
+    """Real 2-process run over a stream whose decoded block sizes are
+    heavily skewed (RLE1 zero-bombs next to entropy blocks): exercises the
+    bounded flat-packed windowed gather on both the encode and decode side
+    (VERDICT r3 item 7 / ADVICE r3 multihost memory findings)."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER_SKEW)
+    coord = "localhost:12421"
+    out_file = tmp_path / "ok.txt"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(i), coord, str(out_file), "2"],
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.PIPE,
+            env=env,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=300) for p in procs]
+    for p, (o, e) in zip(procs, outs):
+        assert p.returncode == 0, e.decode()[-2000:]
+    assert out_file.read_bytes() == b"ok"

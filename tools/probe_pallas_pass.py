@@ -2,12 +2,17 @@
 
 The full 210-pass bitonic kernel (probe_pallas_sort.py) exceeds the remote
 Mosaic service's practical compile budget, so this measures the building
-block instead: a kernel running the LAST bitonic stage (20 passes, every
-XOR distance from 2^19 down to 1) over a 2^20 i32 block held in VMEM, plus
-a 2-pass variant to separate fixed kernel overhead. Full-network cost
-extrapolates as 210/20 of the stage's marginal pass cost; compare against
-lax.sort 1-op (~1.0 ms at this shape = ~4.8 us per bitonic-pass
-equivalent).
+block instead. r4 rewrite: the original concat-shift formulation
+materialized BOTH shifted copies per pass and OOM'd scoped VMEM at 16
+passes (17.88M > 16M); this version uses the reshape/pair formulation —
+view (R, C) as (R/2d, 2, d, C) for row-space distances so a pass is one
+min + one max over the two halves, no full-array shifted temps — and
+measures row-space (d >= C) and lane-space (d < C) passes separately,
+since lane shuffles are the risky direction on TPU.
+
+Compare against lax.sort 1-op (~1.0 ms at this shape): a full 2^20 network
+is 210 passes (155 lane + 55 row in the (1024, 1024) layout), so parity
+needs ~4.8 us/pass.
 """
 import os
 import statistics
@@ -29,54 +34,61 @@ setup_jax_cache()
 LOG2N = 20
 N2 = 1 << LOG2N
 R, C = 1024, 1024
+LOG2C = 10
 
 
-def _shift_neg(x, d, axis):
-    if axis == 1:
-        return jnp.concatenate((x[:, d:], x[:, :d]), axis=1)
-    return jnp.concatenate((x[d:], x[:d]), axis=0)
+def _cex_row(x, j, k):
+    """Compare-exchange at row distance d = 2^(j-LOG2C) (j >= LOG2C), asc
+    by bit k of the linear index. Pair view: (R/2d, 2, d, C)."""
+    dd = 1 << (j - LOG2C)
+    o = R // (2 * dd)
+    v = x.reshape(o, 2, dd, C)
+    lo = jnp.minimum(v[:, 0], v[:, 1])
+    hi = jnp.maximum(v[:, 0], v[:, 1])
+    if k >= LOG2N:
+        return jnp.stack((lo, hi), axis=1).reshape(R, C)
+    # asc = bit k of linear index = bit (k - LOG2C) of row = bit
+    # (k - LOG2C - (j - LOG2C + 1)) of the outer index o
+    ob = k - j - 1
+    oi = jax.lax.broadcasted_iota(jnp.int32, (o, 1, 1), 0)
+    asc = (oi >> ob) & 1 == 0
+    a = jnp.where(asc, lo, hi)
+    b = jnp.where(asc, hi, lo)
+    return jnp.stack((a, b), axis=1).reshape(R, C)
 
 
-def _shift_pos(x, d, axis):
-    if axis == 1:
-        return jnp.concatenate((x[:, C - d :], x[:, : C - d]), axis=1)
-    return jnp.concatenate((x[R - d :], x[: R - d]), axis=0)
-
-
-def _cex(x, d, asc):
-    if d < C:
-        axis, dd = 1, d
-        pos = jax.lax.broadcasted_iota(jnp.int32, (R, C), 1)
+def _cex_lane(x, j, k):
+    """Compare-exchange at lane distance d = 2^j (j < LOG2C), asc by bit k.
+    Pair view splits the LANE dim: (R, C/2d, 2, d)."""
+    dd = 1 << j
+    o = C // (2 * dd)
+    v = x.reshape(R, o, 2, dd)
+    lo = jnp.minimum(v[:, :, 0], v[:, :, 1])
+    hi = jnp.maximum(v[:, :, 0], v[:, :, 1])
+    if k >= LOG2N:
+        return jnp.stack((lo, hi), axis=2).reshape(R, C)
+    if k >= LOG2C:
+        rb = k - LOG2C
+        ri = jax.lax.broadcasted_iota(jnp.int32, (R, 1, 1), 0)
+        asc = (ri >> rb) & 1 == 0
     else:
-        axis, dd = 0, d // C
-        pos = jax.lax.broadcasted_iota(jnp.int32, (R, C), 0)
-    is_a = (pos & dd) == 0
-    p = jnp.where(is_a, _shift_neg(x, dd, axis), _shift_pos(x, dd, axis))
-    take_min = is_a == asc
-    return jnp.where(take_min, jnp.minimum(x, p), jnp.maximum(x, p))
+        ob = k - j - 1
+        oi = jax.lax.broadcasted_iota(jnp.int32, (1, o, 1), 1)
+        asc = (oi >> ob) & 1 == 0
+    a = jnp.where(asc, lo, hi)
+    b = jnp.where(asc, hi, lo)
+    return jnp.stack((a, b), axis=2).reshape(R, C)
 
 
-def make_stage_kernel(passes):
+def make_stage_kernel(js, mode):
     def kernel(x_ref, o_ref):
         x = x_ref[...]
-        idx = (
-            jax.lax.broadcasted_iota(jnp.int32, (R, C), 0) * C
-            + jax.lax.broadcasted_iota(jnp.int32, (R, C), 1)
-        )
-        asc = ((idx >> LOG2N) & 1) == 0  # final stage: all ascending
-        for j in range(LOG2N - 1, LOG2N - 1 - passes, -1):
-            x = _cex(x, 1 << j, asc)
-        # a couple of small-distance passes too when passes >= 4 (lane
-        # shuffles are the risky direction on TPU)
-        if passes >= 4:
-            for j in (3, 2, 1, 0):
-                x = _cex(x, 1 << j, asc)
+        for j in js:
+            x = (_cex_row if mode == "row" else _cex_lane)(x, j, LOG2N)
         o_ref[...] = x
 
     @jax.jit
     def run(x):
-        # donate the input block: in+out+temps for a 4 MB array otherwise
-        # measure 17.88 MB of scoped VMEM vs the 16 MB/core limit
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((R, C), jnp.int32),
@@ -103,32 +115,49 @@ def main():
     xs = jnp.asarray(rng.integers(0, 1 << 30, N2, dtype=np.int32))
     jax.block_until_ready(xs)
 
+    cases = {
+        "row2": make_stage_kernel([19, 18], "row"),
+        "row8": make_stage_kernel([19, 18, 17, 16, 15, 14, 13, 12], "row"),
+        "lane2": make_stage_kernel([9, 8], "lane"),
+        "lane8": make_stage_kernel([9, 8, 7, 6, 5, 4, 3, 2], "lane"),
+    }
     from concurrent.futures import ThreadPoolExecutor
 
-    k2 = make_stage_kernel(2)     # 2 big-distance passes
-    k16 = make_stage_kernel(12)   # 12 big + 4 small = 16 passes
-    with ThreadPoolExecutor(2) as pool:
-        f1 = pool.submit(lambda: jax.device_get(k2(xs)[0]))
-        f2 = pool.submit(lambda: jax.device_get(k16(xs)[0]))
-        f1.result(); f2.result()
-    print("compiled", flush=True)
+    with ThreadPoolExecutor(4) as pool:
+        futs = {
+            n: pool.submit(lambda f=f: jax.device_get(f(xs)[0]))
+            for n, f in cases.items()
+        }
+        for n, f in futs.items():
+            try:
+                f.result()
+                print(f"{n}: compiled", flush=True)
+            except Exception as e:
+                print(f"{n}: FAILED {str(e)[:300]}", flush=True)
+                cases[n] = None
 
-    def chain(kern, k):
+    def chain(kern, kk):
         @jax.jit
         def f(x):
             acc = jnp.int32(0)
-            for i in range(k):
+            for i in range(kk):
                 y = kern(x + i)
                 acc = acc + y[0]
                 x = y
             return acc
         return f
 
-    for name, kern in (("stage2 (2 passes)", k2), ("stage16 (16 passes)", k16)):
+    for name, kern in cases.items():
+        if kern is None:
+            continue
         f1, f3 = chain(kern, 1), chain(kern, 3)
         t1 = timeit(f1, xs)
         t3 = timeit(f3, xs)
-        print(f"{name:22s} t(1)={t1:7.1f} t(3)={t3:7.1f} marginal={(t3-t1)/2:7.2f} ms", flush=True)
+        print(
+            f"{name:8s} t(1)={t1:7.1f} t(3)={t3:7.1f}"
+            f" marginal={(t3-t1)/2:7.2f} ms",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":

@@ -14,10 +14,14 @@ storage). Per batch of `global device count` blocks:
   3. each host fetches ITS OWN output shards (addressable, no DCN), runs
      Huffman refinement + emission for its blocks in the native engine —
      distributing the host-side work across hosts like the rayon pool,
-  4. host 0 gathers only the per-block PACKED BITS (two-phase allgather:
-     bit lengths first, then payloads padded to the batch max) and splices
-     them in block order, folding the order-dependent stream CRC
-     (src/tools/crc.rs:25-27) exactly as the single-host path does.
+  4. host 0 gathers only the per-block PACKED BITS, per batch (a small
+     manifest allgather of block indices + bit lengths, then each process's
+     payloads FLAT-PACKED contiguously and padded only to the max per-process
+     flat size) and splices them in block order, folding the order-dependent
+     stream CRC (src/tools/crc.rs:25-27) exactly as the single-host path
+     does. Gathering inside the batch loop bounds every non-zero host's peak
+     memory by one batch of compressed blocks, independent of stream length
+     (process 0 necessarily accumulates the output it returns).
 
 Runs unchanged single-process (allgather degenerates to identity), which is
 how `__graft_entry__.dryrun_multichip` and the CPU-mesh tests exercise it;
@@ -25,6 +29,8 @@ how `__graft_entry__.dryrun_multichip` and the CPU-mesh tests exercise it;
 `jax.distributed.initialize` over a 4-device CPU mesh.
 """
 from __future__ import annotations
+
+import os
 
 import numpy as np
 
@@ -79,8 +85,16 @@ def compress_multihost(data: bytes | np.ndarray, level: int = 9):
     fn, out_len = make_sharded_transform(mesh, N)
 
     nblocks = len(blocks)
-    # fixed per-process row count per batch => allgather shapes are static
-    local_payloads: dict[int, tuple[bytes, int]] = {}
+    rows_per_proc = max(
+        sum(1 for d in devs if d.process_index == p) for p in range(nproc)
+    )
+    # per-block packed bits, accumulated on process 0 only: the gather runs
+    # INSIDE the batch loop so a non-zero host's peak memory is one batch of
+    # compressed blocks regardless of stream length, and payloads travel
+    # flat-packed (size-prefixed manifest + contiguous concatenation padded
+    # to the max per-process FLAT size) instead of one pad-to-global-max row
+    # per block.
+    per_block: dict[int, tuple[np.ndarray | bytes, int]] = {}
     for base in range(0, nblocks, G):
         batch = blocks[base : base + G]
         local_data = np.zeros((len(my_rows), N), np.uint8)
@@ -99,6 +113,7 @@ def compress_multihost(data: bytes | np.ndarray, level: int = 9):
             for o in outs
         ]
         key_l, syms_l, len_l, freq_l, used_l = local_outs
+        batch_payloads: dict[int, tuple[bytes, int]] = {}
         for r, g in enumerate(my_rows):
             if g >= len(batch):
                 continue
@@ -109,52 +124,48 @@ def compress_multihost(data: bytes | np.ndarray, level: int = 9):
                 int(key_l[r]), syms_l[r], int(len_l[r]), freq_l[r], used_l[r], crc
             )
             payload, nbits = acc.pack()
-            local_payloads[bi] = (payload, nbits)
-
-    # host-0 ordered gather: per-process block manifests, static shapes.
-    # Phase 1: bit lengths + block indices; phase 2: payloads padded to the
-    # global max byte length.
-    rows_per_proc = max(
-        sum(1 for d in devs if d.process_index == p) for p in range(nproc)
-    )
-    cap_blocks = (nblocks + G - 1) // G * max(1, rows_per_proc)
-    idx_arr = np.full(cap_blocks, -1, np.int64)
-    bits_arr = np.zeros(cap_blocks, np.int64)
-    for j, bi in enumerate(sorted(local_payloads)):
-        idx_arr[j] = bi
-        bits_arr[j] = local_payloads[bi][1]
-    if nproc > 1:
-        all_idx = np.asarray(multihost_utils.process_allgather(idx_arr))
-        all_bits = np.asarray(multihost_utils.process_allgather(bits_arr))
-        max_bytes = int(max((b + 7) // 8 for b in all_bits.reshape(-1) if b > 0))
-        pay_arr = np.zeros((cap_blocks, max_bytes), np.uint8)
-        for j, bi in enumerate(sorted(local_payloads)):
-            p = np.frombuffer(local_payloads[bi][0], np.uint8)
-            pay_arr[j, : p.size] = p
-        all_pay = np.asarray(multihost_utils.process_allgather(pay_arr))
-    else:
-        all_idx = idx_arr[None]
-        all_bits = bits_arr[None]
-        all_pay = None  # single process: use local_payloads directly
+            batch_payloads[bi] = (payload, nbits)
+        if nproc == 1:
+            for bi, (payload, nbits) in batch_payloads.items():
+                per_block[bi] = (np.frombuffer(payload, np.uint8), nbits)
+            continue
+        # manifest: (block index + 1, bit length) per local row; flat payload
+        order = sorted(batch_payloads)
+        manifest = np.zeros((max(rows_per_proc, 1), 2), np.int64)
+        for j, bi in enumerate(order):
+            manifest[j] = (bi + 1, batch_payloads[bi][1])
+        flat = (
+            np.concatenate(
+                [
+                    np.frombuffer(batch_payloads[bi][0], np.uint8)
+                    for bi in order
+                ]
+            )
+            if order
+            else np.zeros(0, np.uint8)
+        )
+        all_man = np.asarray(multihost_utils.process_allgather(manifest))
+        flat_caps = (all_man[:, :, 1] + 7) // 8 * (all_man[:, :, 0] > 0)
+        max_flat = int(flat_caps.sum(axis=1).max())
+        pad = np.zeros(max(max_flat, 1), np.uint8)
+        pad[: flat.size] = flat
+        all_flat = np.asarray(multihost_utils.process_allgather(pad))
+        if pid != 0:
+            continue
+        for p in range(nproc):
+            off = 0
+            for j in range(all_man.shape[1]):
+                bi, nbits = int(all_man[p, j, 0]) - 1, int(all_man[p, j, 1])
+                if bi < 0:
+                    continue
+                nbytes = (nbits + 7) // 8
+                per_block[bi] = (all_flat[p, off : off + nbytes], nbits)
+                off += nbytes
 
     if pid != 0:
         return None
 
     # assemble in block order with the order-dependent stream CRC fold
-    per_block: dict[int, tuple[np.ndarray, int]] = {}
-    for p in range(all_idx.shape[0]):
-        for j in range(cap_blocks):
-            bi = int(all_idx[p, j])
-            if bi < 0:
-                continue
-            nbits = int(all_bits[p, j])
-            if all_pay is not None:
-                per_block[bi] = (all_pay[p, j], nbits)
-            else:
-                per_block[bi] = (
-                    np.frombuffer(local_payloads[bi][0], np.uint8),
-                    nbits,
-                )
     from ..hostref.bitio import splice_byte_chunks
 
     header = BitAccum()
@@ -215,8 +226,21 @@ def decompress_multihost(data: bytes) -> bytes | None:
 
     pid = jax.process_index()
     nproc = jax.process_count()
-    if get_lib() is None:
-        # no native engine: decode serially on process 0 (correctness first)
+    # the engine choice must be agreed COLLECTIVELY: if the on-demand native
+    # build succeeded on some hosts but not others, a local early return here
+    # would leave the rest blocked forever in process_allgather — so every
+    # process reports its native availability first and the serial fallback
+    # (or the parallel path) is taken by all processes together
+    has_native = get_lib() is not None
+    if nproc > 1:
+        flags = np.asarray(
+            multihost_utils.process_allgather(
+                np.asarray([1 if has_native else 0], np.int32)
+            )
+        )
+        has_native = bool(flags.min())
+    if not has_native:
+        # no native engine somewhere: decode serially on process 0
         return decompress(data) if pid == 0 else None
     if len(data) < 4 or data[:3] != STREAM_MAGIC:
         raise ValueError("not a bzip2 stream")
@@ -246,68 +270,111 @@ def decompress_multihost(data: bytes) -> bytes | None:
         for c in candidates
     ]
 
-    # ---- local pre-decode of this process's share (round-robin) ----
-    mine = list(range(pid, len(candidates), nproc))
-
+    # ---- local pre-decode + windowed gather ----
     def try_decode(i):
         try:
             return decode_block_native(arr, candidates[i] + 48, cand_levels[i])
         except ValueError:
+            # a payload false-positive "BZh" header between this candidate's
+            # true stream header and the candidate can mislevel it; decode is
+            # level-independent apart from the output cap (the stitch
+            # re-checks CRCs), so a failed pre-decode retries at the format
+            # maximum before giving up — otherwise one bogus header collapses
+            # parallelism for every later candidate in the stream
+            if cand_levels[i] < 9:
+                try:
+                    return decode_block_native(arr, candidates[i] + 48, 9)
+                except ValueError:
+                    return None
             return None
 
-    local: dict[int, tuple] = {}
-    if mine:
-        with ThreadPoolExecutor(min(32, len(mine))) as ex:
-            for i, res in zip(mine, ex.map(try_decode, mine)):
-                if res is not None:
-                    local[candidates[i]] = res
-
-    # ---- two-phase gather: fixed per-process row counts => static shapes ----
     decoded: dict[int, tuple[np.ndarray, int, int, int]] = {}
-    if nproc > 1:
-        cap = (len(candidates) + nproc - 1) // nproc
-        # fields ride as uint32 lo/hi word pairs: process_allgather runs
-        # under the default (x64-disabled) jax config, which silently
-        # truncates int64 payloads to int32 — CRCs above 2^31 and bit
-        # offsets in large streams would corrupt. Field 0 stores c+1 so an
-        # all-zero row means "empty slot".
-        meta = np.zeros((max(cap, 1), 10), np.uint32)
-        for j, c in enumerate(sorted(local)):
-            raw, end_bit, blk_crc, actual = local[c]
-            fields = (c + 1, int(end_bit), int(blk_crc), int(actual), raw.size)
-            for f, v in enumerate(fields):
-                meta[j, 2 * f] = v & 0xFFFFFFFF
-                meta[j, 2 * f + 1] = v >> 32
-        all_meta = np.asarray(multihost_utils.process_allgather(meta), np.uint64)
+    if nproc == 1:
+        mine = list(range(len(candidates)))
+        if mine:
+            with ThreadPoolExecutor(min(32, len(mine))) as ex:
+                for i, res in zip(mine, ex.map(try_decode, mine)):
+                    if res is not None:
+                        decoded[candidates[i]] = (
+                            res[0], res[1], int(res[2]), int(res[3])
+                        )
+    else:
+        # Candidates are processed in WINDOWS so peak host memory is bounded
+        # by one window of decoded blocks (flat-packed, padded only to the
+        # max per-process flat size) instead of the whole decompressed
+        # stream padded to the most-expanded block; only process 0 retains
+        # the gathered payloads (it alone stitches). Window default: 8
+        # candidates per process per round (~7 MB/process at 900k blocks).
+        win = max(1, int(os.environ.get("TPUBZ_MULTIHOST_WINDOW", "8")))
+        rows = max(1, win)
+        ex = ThreadPoolExecutor(min(32, max(1, rows)))
+        try:
+            for w0 in range(0, len(candidates), win * nproc):
+                win_ids = list(range(w0, min(w0 + win * nproc, len(candidates))))
+                mine = [i for i in win_ids if (i - w0) % nproc == pid]
+                local: dict[int, tuple] = {}
+                for i, res in zip(mine, ex.map(try_decode, mine)):
+                    if res is not None:
+                        local[candidates[i]] = res
+                # manifest fields ride as uint32 lo/hi word pairs:
+                # process_allgather runs under the default (x64-disabled)
+                # jax config, which silently truncates int64 payloads to
+                # int32 — CRCs above 2^31 and bit offsets in large streams
+                # would corrupt. Field 0 stores c+1 so an all-zero row means
+                # "empty slot".
+                meta = np.zeros((rows, 10), np.uint32)
+                for j, c in enumerate(sorted(local)):
+                    raw, end_bit, blk_crc, actual = local[c]
+                    fields = (
+                        c + 1, int(end_bit), int(blk_crc), int(actual), raw.size
+                    )
+                    for f, v in enumerate(fields):
+                        meta[j, 2 * f] = v & 0xFFFFFFFF
+                        meta[j, 2 * f + 1] = v >> 32
+                all_meta = np.asarray(
+                    multihost_utils.process_allgather(meta), np.uint64
+                )
 
-        def fld(p, j, f):
-            return int(all_meta[p, j, 2 * f]) | (int(all_meta[p, j, 2 * f + 1]) << 32)
+                def fld(p, j, f):
+                    return int(all_meta[p, j, 2 * f]) | (
+                        int(all_meta[p, j, 2 * f + 1]) << 32
+                    )
 
-        sizes = [
-            fld(p, j, 4)
-            for p in range(all_meta.shape[0])
-            for j in range(all_meta.shape[1])
-            if fld(p, j, 0) > 0
-        ]
-        max_bytes = max(sizes) if sizes else 0
-        if max_bytes:
-            pay = np.zeros((max(cap, 1), max_bytes), np.uint8)
-            for j, c in enumerate(sorted(local)):
-                raw = local[c][0]
-                pay[j, : raw.size] = raw
-            all_pay = np.asarray(multihost_utils.process_allgather(pay))
-            for p in range(all_meta.shape[0]):
-                for j in range(all_meta.shape[1]):
-                    if fld(p, j, 0) > 0:
+                flat_sizes = [
+                    sum(
+                        fld(p, j, 4)
+                        for j in range(all_meta.shape[1])
+                        if fld(p, j, 0) > 0
+                    )
+                    for p in range(nproc)
+                ]
+                max_flat = max(flat_sizes)
+                if not max_flat:
+                    continue
+                flat = np.zeros(max_flat, np.uint8)
+                off = 0
+                for c in sorted(local):
+                    raw = local[c][0]
+                    flat[off : off + raw.size] = raw
+                    off += raw.size
+                all_flat = np.asarray(multihost_utils.process_allgather(flat))
+                if pid != 0:
+                    continue
+                for p in range(nproc):
+                    off = 0
+                    for j in range(all_meta.shape[1]):
+                        if fld(p, j, 0) == 0:
+                            continue
+                        size = fld(p, j, 4)
                         decoded[fld(p, j, 0) - 1] = (
-                            all_pay[p, j, : fld(p, j, 4)],
+                            all_flat[p, off : off + size],
                             fld(p, j, 1),
                             fld(p, j, 2),
                             fld(p, j, 3),
                         )
-    else:
-        for c, (raw, end_bit, blk_crc, actual) in local.items():
-            decoded[c] = (raw, end_bit, int(blk_crc), int(actual))
+                        off += size
+        finally:
+            ex.shutdown(wait=False)
 
     if pid != 0:
         return None
