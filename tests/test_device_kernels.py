@@ -48,6 +48,23 @@ def test_device_bwt_matches_host(cases):
         assert bytes(np.asarray(last)[: d.size]) == bytes(hlast)
 
 
+def test_device_bwt_batch_mode_matches_host(cases):
+    """skip_converged="batch" (while_loop convergence exit, used by the
+    vmapped/sharded paths) must be bitwise-identical to the host reference
+    for a batch mixing fast- and slow-converging blocks — the loop exits at
+    max(active rounds), freezing already-done blocks."""
+    f = jax.jit(
+        jax.vmap(lambda d, m: bwt_forward(d, m, skip_converged="batch"))
+    )
+    batch = jnp.stack([_pad(np.frombuffer(c, np.uint8)) for c in cases])
+    ns = jnp.asarray([len(c) for c in cases], jnp.int32)
+    keys, lasts = f(batch, ns)
+    for i, c in enumerate(cases):
+        hk, hlast = bwt_encode(np.frombuffer(c, np.uint8))
+        assert int(keys[i]) == hk
+        assert bytes(np.asarray(lasts[i])[: len(c)]) == bytes(hlast)
+
+
 def test_device_mtf_rle2_matches_host(cases):
     @jax.jit
     def chain(data, n):

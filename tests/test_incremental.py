@@ -121,6 +121,41 @@ def test_decompressor_corrupt_block(rng):
         dec.decompress(b"\x00" * (1 * 100_000 * 3 + 8192))
 
 
+def test_decompressor_parallel_predecode_many_blocks(rng):
+    """A multi-block stream fed in large chunks: the buffered-ahead block
+    magics pre-decode on the thread pool while the serial walk consumes
+    them, including across the >=1 MiB re-base that shifts buffered
+    offsets. Output must match stdlib exactly (the pre-decode is a pure
+    latency optimization)."""
+    d = bytes(rng.integers(0, 256, 2_600_000, dtype=np.uint8))  # ~26 blocks
+    blob = bz2.compress(d, 1) + b"AFTER"
+    dec = tpubz.BZ2Decompressor()
+    out = bytearray()
+    i = 0
+    while i < len(blob) and not dec.eof:
+        step = int(rng.integers(200_000, 700_000))
+        out += dec.decompress(blob[i : i + step])
+        i += step
+    assert bytes(out) == d
+    assert dec.eof
+    assert dec.unused_data + blob[i:] == b"AFTER"
+
+
+def test_decompressor_predecode_concatenated_streams(rng):
+    """Two concatenated streams fed as one blob: block magics of the SECOND
+    stream get scanned and possibly pre-decoded while the first is still
+    draining; the footer must still stop exactly at the stream boundary
+    with the whole second stream in unused_data (stdlib semantics)."""
+    d1 = bytes(rng.integers(0, 256, 350_000, dtype=np.uint8))
+    d2 = b"second stream " * 5000
+    blob = bz2.compress(d1, 1) + bz2.compress(d2, 9)
+    dec = tpubz.BZ2Decompressor()
+    out = dec.decompress(blob)
+    assert out == d1 and dec.eof
+    dec2 = tpubz.BZ2Decompressor()
+    assert dec2.decompress(dec.unused_data) == d2 and dec2.eof
+
+
 def test_decompressor_numpy_fallback(rng, monkeypatch):
     """Without the native lib the decompressor walks blocks through the
     hostref decoder — same output, same eof/unused_data."""

@@ -114,7 +114,11 @@ def _stage_compact(syms, rle2_len):
 
 @jax.jit
 def _stage_bwt_b(data, n):
-    return jax.vmap(lambda d, m: bwt_forward(d, m, skip_converged=False))(data, n)
+    # "batch": while_loop convergence exit — the batch pays max(active
+    # rounds) across its blocks instead of the fixed 10 (VERDICT r3 item 2)
+    return jax.vmap(lambda d, m: bwt_forward(d, m, skip_converged="batch"))(
+        data, n
+    )
 
 
 @jax.jit

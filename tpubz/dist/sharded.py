@@ -37,7 +37,10 @@ def block_mesh(devices=None, axis: str = "blocks") -> Mesh:
 
 
 def _transform_one(data, n):
-    key, last = bwt_forward(data, n, skip_converged=False)
+    # "batch": convergence-aware while_loop — under the vmap below it exits
+    # once every block on the shard is done, so the sharded path no longer
+    # pays all 10 doubling rounds per block (VERDICT r3 item 2)
+    key, last = bwt_forward(data, n, skip_converged="batch")
     ranks, used = mtf_ranks(last, n, chunk=MTF_CHUNK)
     eob = jnp.sum(used).astype(jnp.int32) + 1
     syms, rle2_len, freqs = rle2_encode(ranks, n, eob)

@@ -12,15 +12,21 @@ pull-oriented, so it runs on a worker thread bridged through the same
 bounded chunk queue :func:`tpubz.open` uses; output drains without
 blocking on each ``compress()`` call.
 
-Decompressor: serial in-place parse of one stream from a growing buffer —
-header, then blocks via the native GIL-free block decoder (numpy mirror
-fallback), footer → ``eof`` with ``unused_data``. A block decode that
-fails while the buffered tail is still smaller than the largest possible
-compressed block means "need more input"; past that bound it is corrupt
-(same disambiguation rule as stream/files.py's bounded-memory decoder).
+Decompressor: in-place parse of one stream from a growing buffer — header,
+then blocks via the native GIL-free block decoder (numpy mirror fallback),
+footer → ``eof`` with ``unused_data``. A block decode that fails while the
+buffered tail is still smaller than the largest possible compressed block
+means "need more input"; past that bound it is corrupt (same
+disambiguation rule as stream/files.py's bounded-memory decoder). Like the
+whole-buffer and streaming-file decoders, candidate block magics in
+buffered-but-unparsed bytes pre-decode ahead on a small thread pool, so a
+large file fed through the incremental API decodes at the parallel rate
+instead of one native call per serial step (the reference decodes strictly
+serially — src/compression/decompress.rs:3-4).
 """
 from __future__ import annotations
 
+import os
 import threading
 
 import numpy as np
@@ -107,6 +113,63 @@ class BZ2Decompressor:
         self.eof = False
         self.unused_data = b""
         self.needs_input = True
+        # parallel pre-decode state (see module docstring): candidate magic
+        # bit-offset -> [future, bit_shift accumulated across re-bases]
+        self._pool = None
+        self._predec: dict[int, list] = {}
+        self._scanned = 0  # byte offset up to which magics were scanned
+
+    def _shutdown_pool(self) -> None:
+        if self._pool is not None:
+            for f, _ in self._predec.values():
+                f.cancel()
+            self._pool.shutdown(wait=False)
+            self._pool = None
+        self._predec = {}
+
+    def __del__(self):
+        try:
+            self._shutdown_pool()
+        except Exception:
+            pass
+
+    def _scan_predecode(self) -> None:
+        """Scan newly buffered bytes for block magics and pre-decode the
+        candidates on a thread pool (native decoder releases the GIL). A
+        payload false positive just wastes one failed decode; the serial
+        walk in _step only consumes a result whose offset it reaches."""
+        from .format.constants import BLOCK_MAGIC
+        from .native import decode_block_native, find_magic_native, get_lib
+
+        if self._level is None or len(self._buf) <= self._scanned:
+            return
+        if get_lib() is None:
+            self._scanned = len(self._buf)
+            return
+        arr = np.frombuffer(self._buf, np.uint8)
+        lo = max(self._scanned - 7, 0)
+        hits = find_magic_native(arr[lo:], BLOCK_MAGIC)
+        self._scanned = len(self._buf)
+        if hits is None or not len(hits):
+            return
+        if self._pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(
+                int(os.environ.get("TPUBZ_DECODE_THREADS", "4"))
+            )
+        lvl = self._level
+
+        def _try(b0, a=arr, lv=lvl):
+            try:
+                return decode_block_native(a, b0 + 48, lv)
+            except ValueError:
+                return None
+
+        for h in hits:
+            b0 = int(h) + lo * 8
+            if b0 >= self._pos and b0 not in self._predec:
+                self._predec[b0] = [self._pool.submit(_try, b0), 0]
 
     def _parse_header(self) -> bool:
         from .format.constants import STREAM_MAGIC
@@ -140,14 +203,21 @@ class BZ2Decompressor:
             self._done = True
             self.unused_data = self._buf[(br.pos + 7) // 8 :]
             self._buf = b""
+            self._shutdown_pool()
             return False
         if tag != BLOCK_MAGIC:
             raise ValueError("invalid block header magic")
         from .native import decode_block_native, get_lib
 
         arr = np.frombuffer(self._buf, np.uint8)
+        entry = self._predec.pop(self._pos, None)
+        pre = entry[0].result() if entry is not None else None
         try:
-            if get_lib() is not None:
+            if pre is not None:
+                raw, end_bit, blk_crc, actual = pre
+                end_bit -= entry[1]
+                raw = raw.tobytes()
+            elif get_lib() is not None:
                 raw, end_bit, blk_crc, actual = decode_block_native(
                     arr, self._pos + 48, self._level
                 )
@@ -177,11 +247,21 @@ class BZ2Decompressor:
         self._pending += raw
         self._pos = end_bit
         # re-base: drop consumed whole bytes so memory tracks the unparsed
-        # tail, not the whole stream
+        # tail, not the whole stream (pre-decode offsets shift with it;
+        # futures hold their own buffer snapshot, so only the recorded
+        # end_bit shift changes)
         drop = self._pos // 8
         if drop >= 1 << 20:
             self._buf = self._buf[drop:]
             self._pos -= drop * 8
+            shifted: dict[int, list] = {}
+            for k, (f, sh) in self._predec.items():
+                if k - drop * 8 >= self._pos:
+                    shifted[k - drop * 8] = [f, sh + drop * 8]
+                else:
+                    f.cancel()
+            self._predec = shifted
+            self._scanned = max(self._scanned - drop, 0)
         return True
 
     def decompress(self, data, max_length: int = -1) -> bytes:
@@ -193,10 +273,12 @@ class BZ2Decompressor:
             if self._level is None and self._buf:
                 self._parse_header()
             if self._level is not None:
+                self._scan_predecode()
                 while not self._done and self._step():
                     pass
         except Exception:
             self.needs_input = False
+            self._shutdown_pool()
             raise
         if max_length >= 0 and len(self._pending) > max_length:
             out = bytes(self._pending[:max_length])
