@@ -7,7 +7,11 @@ refinement -> stream assembly), with output validated against system bunzip2.
 
 Robustness: this VM's CPU scheduling is bursty (10-20x swings between
 consecutive trials), so encode and decode run TPUBZ_BENCH_TRIALS trials
-(default 3) and the headline value is the MEDIAN; best is reported alongside.
+(default 7) and the headline value is the MEDIAN; best is reported
+alongside. The default corpus is 32 MB (TPUBZ_BENCH_MB overrides): at 8 MB
+(~9 blocks) a single relay/host phase swing dominated the whole trial, and
+startup/tail effects hid steady-state pipeline throughput (VERDICT r3
+weak #7).
 
 vs_baseline compares against the north-star per-chip share: 5 GB/s aggregate
 on a v5e-16 slice (BASELINE.json) -> 0.3125 GB/s per chip.
@@ -71,8 +75,8 @@ def build_corpus(mb: int = 8) -> bytes:
 
 def main():
     level = 9
-    trials = max(1, int(os.environ.get("TPUBZ_BENCH_TRIALS", "5")))
-    corpus = build_corpus(int(os.environ.get("TPUBZ_BENCH_MB", "8")))
+    trials = max(1, int(os.environ.get("TPUBZ_BENCH_TRIALS", "7")))
+    corpus = build_corpus(int(os.environ.get("TPUBZ_BENCH_MB", "32")))
     from tpubz.stream.api import compress
     from tpubz.stream.decode import decompress
 

@@ -10,16 +10,23 @@ max(active rounds) instead of the fixed 10).
 Measurement method: dispatch-level timing is untrustworthy here (the relay
 dedupes repeated identical dispatches and pipelines per-call latency away —
 PERFORMANCE.md "dispatch-level probes"), so each case chains k DEPENDENT
-applications inside ONE jit (the next application's input is the real block
-data xor (acc & 0): value-identical real data, but data-dependent so the
-graph serializes and nothing dedupes) and reports the k2-k1 marginal. All
-three cases process the SAME 8 real bench-corpus blocks (active-round
+applications inside ONE jit and reports the k2-k1 marginal. The chained
+input is the real block data xor an OPAQUE always-zero mask derived from
+the previous application's output (where(acc > 2^30, 1, 0): acc sums keys
+and bytes so it stays far below 2^30, but XLA cannot prove that, so the
+applications neither constant-fold nor CSE — the first draft used
+`acc & 0`, which folded to 0 and let CSE delete every repetition). All
+cases process the SAME 8 real bench-corpus blocks (active-round
 distribution {1,1,1,4,4,4,6,6}, median 4) so convergence behavior is
 production-realistic:
 
   1. per_block8:  8 single-block bwt_forward(skip_converged=True) calls
-  2. batch8_conv: one vmapped call, skip_converged="batch"   (r4 path)
-  3. batch8_fix:  one vmapped call, skip_converged=False     (r3 path)
+  2. batch8_conv: one vmapped call, skip_converged="batch" — vmap lifts the
+     while to ALL-done, so the batch pays B x max(rounds)     (48 round-eq)
+  3. batch8_fix:  one vmapped call, skip_converged=False     (80 round-eq)
+  4. scan8_conv:  lax.map over the batch, skip_converged="batch" — the
+     while cond stays SCALAR under scan, so each block exits at its own
+     convergence: sum(rounds) = 27 round-eq in one launch     (r4 winner?)
 """
 import json
 import statistics
@@ -43,13 +50,18 @@ setup_jax_cache()
 B = 8
 
 
+def _mask(acc):
+    # opaque always-zero uint8 (see module docstring)
+    return jnp.where(acc > jnp.int32(1 << 30), jnp.uint8(1), jnp.uint8(0))
+
+
 def make_per(k):
     @jax.jit
     def f(batch, ns):
         acc = jnp.int32(0)
         for _ in range(k):
             for i in range(B):
-                d = batch[i] ^ (acc & 0).astype(jnp.uint8)
+                d = batch[i] ^ _mask(acc)
                 key, last = bwt_forward(d, ns[i])
                 acc = acc + key + last[0].astype(jnp.int32)
         return acc
@@ -57,15 +69,21 @@ def make_per(k):
     return f
 
 
-def make_batch(k, mode):
+def make_batch(k, mode, mapper=jax.vmap):
     @jax.jit
     def f(batch, ns):
         acc = jnp.int32(0)
         for _ in range(k):
-            d = batch ^ (acc & 0).astype(jnp.uint8)
-            keys, lasts = jax.vmap(
-                lambda x, m: bwt_forward(x, m, skip_converged=mode)
-            )(d, ns)
+            d = batch ^ _mask(acc)
+            if mapper is jax.vmap:
+                keys, lasts = jax.vmap(
+                    lambda x, m: bwt_forward(x, m, skip_converged=mode)
+                )(d, ns)
+            else:
+                keys, lasts = jax.lax.map(
+                    lambda a: bwt_forward(a[0], a[1], skip_converged=mode),
+                    (d, ns),
+                )
             acc = acc + jnp.sum(keys) + jnp.sum(lasts[:, 0].astype(jnp.int32))
         return acc
 
@@ -101,9 +119,10 @@ def main():
     jax.block_until_ready(batch_d)
 
     cases = (
+        ("bwt_scan8_convergence", lambda k: make_batch(k, "batch", jax.lax.map)),
+        ("bwt_per_block8", make_per),
         ("bwt_batch8_convergence", lambda k: make_batch(k, "batch")),
         ("bwt_batch8_fixed10", lambda k: make_batch(k, False)),
-        ("bwt_per_block8", make_per),
     )
     for name, mk in cases:
         t1, c1 = timeit(mk(1), batch_d, ns_d)

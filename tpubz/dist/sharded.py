@@ -25,8 +25,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..kernels.mtf import mtf_ranks
-from ..kernels.rle2 import rle2_encode
 from ..kernels.suffix_sort import bwt_forward
 from ..block.encode import MTF_CHUNK
 
@@ -36,17 +34,6 @@ def block_mesh(devices=None, axis: str = "blocks") -> Mesh:
     return Mesh(devices.reshape(-1), (axis,))
 
 
-def _transform_one(data, n):
-    # "batch": convergence-aware while_loop — under the vmap below it exits
-    # once every block on the shard is done, so the sharded path no longer
-    # pays all 10 doubling rounds per block (VERDICT r3 item 2)
-    key, last = bwt_forward(data, n, skip_converged="batch")
-    ranks, used = mtf_ranks(last, n, chunk=MTF_CHUNK)
-    eob = jnp.sum(used).astype(jnp.int32) + 1
-    syms, rle2_len, freqs = rle2_encode(ranks, n, eob)
-    return key, syms, rle2_len, freqs, used
-
-
 def make_sharded_transform(mesh: Mesh, N: int, axis: str = "blocks"):
     """Returns a jitted fn (data uint8[B,N], n int32[B]) -> per-block outputs,
     with B sharded across the mesh axis. B must be a multiple of mesh size."""
@@ -54,12 +41,44 @@ def make_sharded_transform(mesh: Mesh, N: int, axis: str = "blocks"):
     spec = P(axis)
 
     def batched(data, n):
-        return jax.vmap(_transform_one)(data, n)
+        # BWT via lax.map: under scan the convergence while_loop's cond is
+        # scalar, so each local block exits at its own round count —
+        # sum(rounds) per shard instead of vmap's B_local x max(rounds)
+        # (measured 16.6 vs 36.2 ms/block in-graph on the real chip,
+        # tools/probe_batch_bwt.py; VERDICT r3 item 2). With one block per
+        # device (the pod shape) the two coincide. bwt_forward is gather/
+        # scatter-free so scan is safe; mtf/rle2 scatter — pathological
+        # inside lax loops — so they use the FLAT block-namespaced batch
+        # formulations instead (kernels/mtf.py, kernels/rle2.py): vmapping
+        # them hits pathological compile times on the TPU backend (>40 min
+        # at B=8, the reason the r3 sharded path was never chip-measured),
+        # while the flat graphs keep the single-block op count. Pallas
+        # dominance on TPU (the batched jnp dominance materializes B x the
+        # ~half-GB HBM intermediates); jnp under the CPU interpreter.
+        from ..kernels.mtf import mtf_ranks_batch
+        from ..kernels.rle2 import rle2_encode_batch
+
+        keys, lasts = jax.lax.map(
+            lambda a: bwt_forward(a[0], a[1], skip_converged="batch"),
+            (data, n),
+        )
+        ranks, used = mtf_ranks_batch(
+            lasts, n, chunk=MTF_CHUNK,
+            use_pallas=jax.default_backend() != "cpu",
+        )
+        eob = jnp.sum(used, axis=1).astype(jnp.int32) + 1
+        syms, rle2_len, freqs = rle2_encode_batch(ranks, n, eob)
+        return keys, syms, rle2_len, freqs, used
 
     sharded = jax.shard_map(
         batched,
         mesh=mesh,
         in_specs=(spec, spec),
         out_specs=(spec, spec, spec, spec, spec),
+        # the Pallas dominance kernel's out_shape carries no varying-mesh-
+        # axes annotation, which the vma static check rejects inside
+        # shard_map; the transform is pure block-DP (no collectives, every
+        # output varies over the blocks axis) so the check adds nothing here
+        check_vma=False,
     )
     return jax.jit(sharded), out_len
