@@ -47,7 +47,16 @@ def test_sharded_encode_roundtrip(rng, sys_bunzip2):
         jax.device_put(jnp.asarray(batch), sharding),
         jax.device_put(jnp.asarray(ns), sharding),
     )
-    key, syms, rle2_len, freqs, used = (np.asarray(x) for x in res)
+    key, syms, rle2_len, freqs, used = (np.asarray(x) for x in res[:5])
+    # compact transfer form must reconstruct the u16 symbol rows exactly
+    u8, hip, hic = (np.asarray(x) for x in res[5:])
+    for r in range(syms.shape[0]):
+        rl, hc = int(rle2_len[r]), int(hic[r])
+        rec = u8[r].astype(np.uint16)
+        if hc:
+            hi = hip[r, :hc]
+            rec[hi >> 1] = 256 + (hi & 1)
+        assert (rec[:rl] == syms[r][:rl]).all()
 
     acc = BitAccum()
     for b in STREAM_MAGIC:

@@ -60,7 +60,7 @@ def compress_multihost(data: bytes | np.ndarray, level: int = 9):
     from jax.experimental import multihost_utils
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from ..block.encode import DeviceBlockEncoder, setup_jax_cache
+    from ..block.encode import HI_CAP, DeviceBlockEncoder, setup_jax_cache
     from .sharded import block_mesh, make_sharded_transform
 
     if not 1 <= level <= 9:
@@ -107,12 +107,18 @@ def compress_multihost(data: bytes | np.ndarray, level: int = 9):
         data_g = jax.make_array_from_process_local_data(sharding, local_data, (G, N))
         n_g = jax.make_array_from_process_local_data(sharding, local_n, (G,))
         outs = fn(data_g, n_g)
-        # fetch only the addressable (local) shards of each output
-        local_outs = [
-            np.concatenate([np.asarray(s.data) for s in o.addressable_shards])
-            for o in outs
-        ]
-        key_l, syms_l, len_l, freq_l, used_l = local_outs
+        # fetch only the addressable (local) shards, and only the COMPACT
+        # symbol form (u8 stream + sidecar of the rare symbols >= 256 —
+        # 4x less D2H than the i32 rows); the full symbol rows are fetched
+        # per row only on sidecar overflow
+        def _local(o):
+            return np.concatenate(
+                [np.asarray(s.data) for s in o.addressable_shards]
+            )
+
+        key_l, len_l, freq_l, used_l, u8_l, hip_l, hic_l = (
+            _local(o) for o in (outs[0], *outs[2:])
+        )
         batch_payloads: dict[int, tuple[bytes, int]] = {}
         for r, g in enumerate(my_rows):
             if g >= len(batch):
@@ -120,8 +126,18 @@ def compress_multihost(data: bytes | np.ndarray, level: int = 9):
             bi = base + g
             _, _, i0, i1 = batch[g]
             crc = block_crc(arr[i0:i1])
+            hc = int(hic_l[r])
+            if hc > HI_CAP:  # sidecar overflow (pathological): full row
+                syms_r = np.concatenate(
+                    [np.asarray(s.data) for s in outs[1].addressable_shards]
+                )[r]
+            else:
+                syms_r = u8_l[r].astype(np.uint16)
+                if hc:
+                    hi = hip_l[r, :hc]
+                    syms_r[hi >> 1] = 256 + (hi & 1)
             acc = DeviceBlockEncoder.emit_block(
-                int(key_l[r]), syms_l[r], int(len_l[r]), freq_l[r], used_l[r], crc
+                int(key_l[r]), syms_r, int(len_l[r]), freq_l[r], used_l[r], crc
             )
             payload, nbits = acc.pack()
             batch_payloads[bi] = (payload, nbits)

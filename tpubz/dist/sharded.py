@@ -68,13 +68,22 @@ def make_sharded_transform(mesh: Mesh, N: int, axis: str = "blocks"):
         )
         eob = jnp.sum(used, axis=1).astype(jnp.int32) + 1
         syms, rle2_len, freqs = rle2_encode_batch(ranks, n, eob)
-        return keys, syms, rle2_len, freqs, used
+        # compact transfer form (u8 stream + packed sidecar of the rare
+        # symbols >= 256): the D2H volume per block drops 4x vs the i32
+        # symbol rows — the dominant cost of the route on relay rigs and a
+        # real PCIe saving on pods. Full syms stays an output solely for
+        # the sidecar-overflow fallback; consumers simply never fetch it
+        # otherwise (jax.Array transfers are per-fetch).
+        from ..block.encode import _stage_compact
+
+        syms_u8, hi_packed, hi_count = jax.vmap(_stage_compact)(syms, rle2_len)
+        return keys, syms, rle2_len, freqs, used, syms_u8, hi_packed, hi_count
 
     sharded = jax.shard_map(
         batched,
         mesh=mesh,
         in_specs=(spec, spec),
-        out_specs=(spec, spec, spec, spec, spec),
+        out_specs=(spec,) * 8,
         # the Pallas dominance kernel's out_shape carries no varying-mesh-
         # axes annotation, which the vma static check rejects inside
         # shard_map; the transform is pure block-DP (no collectives, every
