@@ -46,15 +46,14 @@ def encode_block(rle1_block: np.ndarray, crc: int) -> BitAccum:
     return acc
 
 
-def decode_block(
-    br: BitReader, level: int, use_device_ibwt: bool = False
-) -> tuple[np.ndarray, int]:
+def decode_block(br: BitReader, level: int) -> tuple[np.ndarray, int]:
     """Decode one block body (caller has consumed the 48-bit magic).
 
-    Returns (raw bytes, block_crc_from_stream). With ``use_device_ibwt`` the
-    BWT inverse runs through the device pointer-doubling kernel
-    (tpubz/kernels/ibwt.py) instead of the host counting-sort chase —
-    selected by TPUBZ_DEVICE_IBWT=1 in the stream decoder.
+    Returns (raw bytes, block_crc_from_stream). The BWT inverse is the host
+    counting-sort chase by measurement: the device pointer-doubling kernel's
+    batched in-graph form costs 143.9 ms/block in gathers alone
+    (tools/probe_ibwt_batched.py, PERFORMANCE.md r4), several times the
+    native chase's entire block decode.
     """
     blk_crc = br.read(32)
     br.read_bit()  # randomized flag: read and ignored (decompress.rs:102-103)
@@ -98,11 +97,6 @@ def decode_block(
     mtf_out = mtf_rle2_decode(rle2, symbol_set, level * 100_000)
     if key >= mtf_out.size and mtf_out.size > 0:
         raise ValueError("BWT key out of range for block")
-    if use_device_ibwt:
-        from ..kernels.ibwt import bwt_inverse_device
-
-        bwt_out = bwt_inverse_device(int(key), mtf_out, mtf_out.size)
-    else:
-        bwt_out = bwt_decode_fast(int(key), mtf_out)
+    bwt_out = bwt_decode_fast(int(key), mtf_out)
     raw = rle1_decode(bwt_out)
     return raw, blk_crc

@@ -10,18 +10,16 @@ block CRC, falling back to serial continuation on a false positive.
 """
 from __future__ import annotations
 
-import os
-
 import numpy as np
 
-# TPUBZ_DEVICE_IBWT=1 routes block decode through the Python envelope
-# decoder with the device pointer-doubling inverse-BWT kernel
-# (tpubz/kernels/ibwt.py) instead of the native host chase. The native
-# decoder is faster on this rig (the chase rides one cache-missing load per
-# step while the relay caps device throughput); the device path exists for
-# locally-attached hardware and is kept correct by tests.
-DEVICE_IBWT = os.environ.get("TPUBZ_DEVICE_IBWT", "0") == "1"
-
+# The decode leg is 100% host CPU BY MEASUREMENT, not omission: the device
+# inverse-BWT exists (tpubz/kernels/ibwt.py, correctness-tested) and its
+# best-case BATCHED in-graph form was measured on the real chip — 20
+# chained [8, 900k] doubling gathers cost 143.9 ms/block (7.2 ms per 900k
+# gather row; tools/probe_ibwt_batched.py), several times the native
+# 16-way segmented chase's ENTIRE block decode. TPU gathers are the wrong
+# primitive for pointer-chasing; the former TPUBZ_DEVICE_IBWT production
+# route was removed on those numbers (PERFORMANCE.md r4).
 from ..format.constants import BLOCK_MAGIC, FOOTER_MAGIC, STREAM_MAGIC
 from ..format.crc import block_crc, stream_crc_fold
 from ..hostref.bitio import BitReader
@@ -103,7 +101,7 @@ def _decompress_one(data: bytes) -> tuple[bytes, int]:
     from ..native import decode_block_native, get_lib
 
     arr = np.frombuffer(data, dtype=np.uint8)
-    use_native = get_lib() is not None and not DEVICE_IBWT
+    use_native = get_lib() is not None
     futures: dict[int, object] = {}
     ex = None
     if use_native:
@@ -163,9 +161,7 @@ def _decompress_one(data: bytes) -> tuple[bytes, int]:
                     arr, pos + 48, level
                 )
             else:
-                raw, blk_crc = decode_block(
-                    first48, level, use_device_ibwt=DEVICE_IBWT
-                )
+                raw, blk_crc = decode_block(first48, level)
                 end_bit = first48.pos
                 actual = block_crc(raw)
             if actual != blk_crc:
@@ -183,9 +179,7 @@ def _decompress_one(data: bytes) -> tuple[bytes, int]:
             ex.shutdown(wait=False)
     last_decode_stats.clear()
     last_decode_stats.update(
-        engine="native" if use_native else (
-            "python+device-ibwt" if DEVICE_IBWT else "python"
-        ),
+        engine="native" if use_native else "python",
         blocks=len(parts),
         parallel_candidates=len(futures),
     )
