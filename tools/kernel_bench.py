@@ -16,8 +16,10 @@ backend dedupes repeated identical dispatches):
 Prints one JSON line per measurement.
 """
 import json
+import sys
 import time
 
+sys.path.insert(0, "/root/repo")
 import numpy as np
 
 import jax

@@ -68,9 +68,20 @@ def _stage_bwt(data, n):
     return bwt_forward(data, n)
 
 
+def _mtf_use_pallas() -> bool:
+    """Full-chain MTF dominance engine (VERDICT r3 item 8): Pallas on TPU —
+    in-graph marginal 9.78 vs jnp's 10.2 ms/block at the 900k shape
+    (tools/probe_mtf_pallas_marginal.py, r4: the r3 kernel rewrite flipped
+    r2's dispatch-level loss) AND it streams the dominance reduction
+    through VMEM instead of materializing (nc, 256, 256) boolean tensors in
+    HBM. jnp on CPU (tests/virtual mesh): the interpreter-mode Pallas call
+    is orders slower and XLA-CPU fuses the jnp form fine."""
+    return jax.default_backend() != "cpu"
+
+
 @jax.jit
 def _stage_mtf(last, n):
-    return mtf_ranks(last, n, chunk=MTF_CHUNK)
+    return mtf_ranks(last, n, chunk=MTF_CHUNK, use_pallas=_mtf_use_pallas())
 
 
 @jax.jit
@@ -201,7 +212,7 @@ def _stage_post(last, n):
     stays separate: its 20-round sort loop is the compile-time hog)."""
     from ..kernels.huffman_dev import chunk_hist
 
-    ranks, used = mtf_ranks(last, n, chunk=MTF_CHUNK)
+    ranks, used = mtf_ranks(last, n, chunk=MTF_CHUNK, use_pallas=_mtf_use_pallas())
     eob = jnp.sum(used).astype(jnp.int32) + 1
     syms, rle2_len, freqs = rle2_encode(ranks, n, eob)
     syms_u8, hi_packed, hi_count = _stage_compact(syms, rle2_len)
@@ -278,7 +289,7 @@ def _stage_full_lean(data, n):
     launch (the fallback route when only this graph is warm; see
     _rle2_compact for the transfer contract)."""
     key, last = bwt_forward(data, n)
-    ranks, used = mtf_ranks(last, n, chunk=MTF_CHUNK)
+    ranks, used = mtf_ranks(last, n, chunk=MTF_CHUNK, use_pallas=_mtf_use_pallas())
     rle2_len, quarters, hi_pos, hi_count, syms = _rle2_compact(ranks, n, used)
     return key, syms, rle2_len, used, quarters, hi_pos, hi_count
 
