@@ -75,44 +75,6 @@ def test_devrefine_emit_matches_host_emit(rng):
 
 
 @pytest.mark.slow
-def test_hostref_batched_byte_identical(rng, monkeypatch):
-    """The batched host-refine route (TPUBZ_DEVICE_REFINE=0 with BATCH>1):
-    one batched BWT launch + one batched fetch per BATCH, refinement on the
-    host engine. Bytes must match the host reference exactly."""
-    from tpubz.stream import api
-
-    monkeypatch.setattr(api, "DEVICE_REFINE", False)
-    monkeypatch.setattr(api, "_BATCH_ENV", "8")
-    d = (
-        bytes(rng.integers(0, 64, 400_000, dtype=np.uint8))
-        + b"lorem ipsum dolor sit amet\n" * 10_000
-        + bytes(rng.integers(0, 256, 150_000, dtype=np.uint8))
-    )
-    c_dev = api.compress(d, 1)
-    assert c_dev == host_compress(d, 1)
-    assert decompress(c_dev) == d
-
-
-@pytest.mark.slow
-def test_device_stream_batched_byte_identical(rng, monkeypatch):
-    """>= BATCH blocks routes through the batched multi-block device path
-    (B blocks per launch) plus a per-block remainder; bytes must match the
-    host reference exactly."""
-    from tpubz.stream import api
-
-    monkeypatch.setattr(api, "DEVICE_REFINE", True)
-    monkeypatch.setattr(api, "_BATCH_ENV", "8")
-    d = (
-        bytes(rng.integers(0, 64, 500_000, dtype=np.uint8))
-        + b"the quick brown fox\n" * 12_000
-        + bytes(rng.integers(0, 256, 150_000, dtype=np.uint8))
-    )
-    c_dev = api.compress(d, 1)  # ~9 blocks at level 1: 8 batched + 1 single
-    assert c_dev == host_compress(d, 1)
-    assert decompress(c_dev) == d
-
-
-@pytest.mark.slow
 def test_lean_fused_graph_matches_full(rng, monkeypatch):
     """The lean host-refine fused graph (_stage_full_lean: no device
     freqs/hist, sort-based hi sidecar, host EOB re-stamp + bincount) must
@@ -150,8 +112,6 @@ def test_lean_stream_byte_identical(rng, monkeypatch):
     from tpubz.stream import api
 
     monkeypatch.setattr(E, "_lean_ok", True)
-    monkeypatch.setattr(api, "DEVICE_REFINE", False)
-    monkeypatch.setattr(api, "_BATCH_ENV", "0")
     d = (
         bytes(np.tile(np.arange(256, dtype=np.uint8), 300))
         + b"lorem ipsum dolor sit amet\n" * 8_000
@@ -195,8 +155,6 @@ def test_split_lean_stream_byte_identical(rng, monkeypatch):
     from tpubz.stream import api
 
     monkeypatch.setattr(E, "_split_ok", True)
-    monkeypatch.setattr(api, "DEVICE_REFINE", False)
-    monkeypatch.setattr(api, "_BATCH_ENV", "0")
     d = (
         bytes(np.tile(np.arange(256, dtype=np.uint8), 300))
         + b"lorem ipsum dolor sit amet\n" * 8_000

@@ -114,93 +114,18 @@ def _stage_compact(syms, rle2_len):
 
 
 # ---------------------------------------------------------------------------
-# batched (multi-block-per-call) stages: on a relay-attached chip each
-# executable launch costs ~50ms regardless of size, so B blocks per call
-# amortizes launch overhead B-fold; on locally-attached chips batching keeps
-# the MXU/VPU fed between host round trips. vmap over the same kernels the
-# per-block path uses (skip_converged=False: under vmap lax.cond degenerates
-# to select anyway).
+# Batched (multi-block-per-call) single-chip stream routes: REMOVED in r4
+# after a measured 3-round losing streak. The r2/r3 batched fused graph
+# (vmapped and flat block-namespaced stages) compiled in 40-70+ minutes on
+# this backend and executed ~5x slower; the r4 re-shootout after the kernel
+# improvements (32 MB, same phase, warm caches) still lost 2x:
+# per-block hybrid 34.7 MB/s vs TPUBZ_BATCH=8 17.8 vs TPUBZ_DEVICE_REFINE=1
+# 20.3 (PERFORMANCE.md r4). What SURVIVES of batching is the part that won:
+# the lax.map convergence-exit BWT (16.6 ms/block in-graph, equal to the
+# per-block path in one launch) lives in dist/sharded.py where the pod path
+# needs it; the flat mtf/rle2 batch kernels live on in kernels/{mtf,rle2}.py
+# for the same consumer.
 # ---------------------------------------------------------------------------
-
-
-@jax.jit
-def _stage_bwt_b(data, n):
-    # lax.map, NOT vmap: under scan the convergence while_loop's cond stays
-    # SCALAR, so each block exits at its own round count — the batch pays
-    # sum(rounds) instead of vmap's B x max(rounds). Measured in-graph on
-    # the real chip (tools/probe_batch_bwt.py, 8 bench blocks, rounds
-    # {1,1,1,4,4,4,6,6}): 16.6 ms/block vs vmap-conv 36.2 / vmap-fixed10
-    # 59.0 / per-block-pipelined 15.8 — batched convergence now matches the
-    # per-block path's chip time in ONE launch (VERDICT r3 item 2). Safe for
-    # bwt_forward specifically because it is gather/scatter-free (r3);
-    # the mtf/rle2 stages scatter, which is pathological inside lax loops,
-    # so they stay vmapped.
-    return jax.lax.map(
-        lambda a: bwt_forward(a[0], a[1], skip_converged="batch"), (data, n)
-    )
-
-
-@jax.jit
-def _stage_mtf_b(last, n):
-    return jax.vmap(lambda l, m: mtf_ranks(l, m, chunk=MTF_CHUNK))(last, n)
-
-
-@jax.jit
-def _stage_rle2hist_b(ranks, n, used):
-    from ..kernels.huffman_dev import chunk_hist
-
-    def f(r, m, u):
-        eob = jnp.sum(u).astype(jnp.int32) + 1
-        syms, rle2_len, freqs = rle2_encode(r, m, eob)
-        return syms, rle2_len, freqs, chunk_hist(syms, rle2_len)
-
-    return jax.vmap(f)(ranks, n, used)
-
-
-@jax.jit
-def _stage_mtf_flat(last, n):
-    from ..kernels.mtf import mtf_ranks_batch
-
-    # Pallas dominance kernel: the batched XLA dominance reduction never
-    # finishes compiling on this backend (both vmapped and flat variants);
-    # the VMEM-tiled kernel's compile cost is independent of row count
-    return mtf_ranks_batch(last, n, chunk=MTF_CHUNK, use_pallas=True)
-
-
-@jax.jit
-def _stage_rle2hist_flat(ranks, n, used):
-    from ..kernels.huffman_dev import chunk_hist_batch
-    from ..kernels.rle2 import rle2_encode_batch
-
-    eob = jnp.sum(used, axis=1).astype(jnp.int32) + 1
-    syms, rle2_len, freqs = rle2_encode_batch(ranks, n, eob)
-    return syms, rle2_len, freqs, chunk_hist_batch(syms, rle2_len)
-
-
-@jax.jit
-def _stage_compact_b(syms, rle2_len):
-    return jax.vmap(_stage_compact)(syms, rle2_len)
-
-
-@jax.jit
-def _unstack(x):
-    """Split a batched array into per-block arrays in ONE launch (indexing
-    the batched array per block would dispatch one slice program each)."""
-    return tuple(x[i] for i in range(x.shape[0]))
-
-
-@jax.jit
-def _refine_pass_b(hist, lens, tc):
-    from ..kernels.huffman_dev import refine_pass
-
-    return jax.vmap(refine_pass)(hist, lens, tc)
-
-
-@jax.jit
-def _pack_b(syms, rle2_len, sel, codes, lens):
-    from ..kernels.huffman_dev import pack_payload
-
-    return jax.vmap(pack_payload)(syms, rle2_len, sel, codes, lens)
 
 
 @jax.jit
@@ -321,7 +246,6 @@ def _src_hash() -> str:
     for fn in (
         _stage_full,
         _stage_full_lean,
-        _stage_full_b,
         _stage_post,
         _stage_compact,
         _stage_rle2c,
@@ -396,65 +320,6 @@ def _probe_split_lean() -> bool:
     return _split_ok
 
 
-@jax.jit
-def _stage_full_b(data, n):
-    """Batched fused transform: B blocks -> ONE launch. vmap covers the BWT
-    and compact stages; MTF and RLE2 use the flat block-namespaced batch
-    formulations (kernels/mtf.py, kernels/rle2.py) because their vmapped
-    graphs explode at compile time on this backend — the Pallas dominance
-    kernel's compile cost is independent of row count."""
-    from ..kernels.huffman_dev import chunk_hist_batch
-    from ..kernels.mtf import mtf_ranks_batch
-    from ..kernels.rle2 import rle2_encode_batch
-
-    key, last = jax.vmap(lambda d, m: bwt_forward(d, m, skip_converged=False))(
-        data, n
-    )
-    ranks, used = mtf_ranks_batch(last, n, chunk=MTF_CHUNK, use_pallas=True)
-    eob = jnp.sum(used, axis=1).astype(jnp.int32) + 1
-    syms, rle2_len, freqs = rle2_encode_batch(ranks, n, eob)
-    syms_u8, hi_packed, hi_count = jax.vmap(_stage_compact)(syms, rle2_len)
-    hist = chunk_hist_batch(syms, rle2_len)
-    return key, syms, rle2_len, freqs, used, syms_u8, hi_packed, hi_count, hist
-
-
-_full_b_batch: int | None = None
-
-
-def _probe_full_b() -> int:
-    """Batch size of the AOT-warmed batched fused graph (0 = not warm for
-    the current sources). TPUBZ_FUSED_BATCH=0 disables; =N forces batch N
-    (test/backends with fast compiles). Memoized like the other probes —
-    _batch_size() calls this per compress() and _src_hash() is not free."""
-    global _full_b_batch
-    if _full_b_batch is not None:
-        return _full_b_batch
-    mode = os.environ.get("TPUBZ_FUSED_BATCH", "auto")
-    if mode != "auto":
-        _full_b_batch = int(mode)
-        return _full_b_batch
-    try:
-        with open(_stamp_path() + "_b") as f:
-            h, b = f.read().split()
-            _full_b_batch = int(b) if h == _src_hash() else 0
-    except (OSError, ValueError):
-        _full_b_batch = 0
-    return _full_b_batch
-
-
-def warm_aot_full_b(level: int = 9, batch: int = 8):
-    """AOT-compile the batched fused single-launch graph and stamp it with
-    the batch size (production batches at exactly this size)."""
-    setup_jax_cache()
-    N = DeviceBlockEncoder(level).N
-    d = jax.ShapeDtypeStruct((batch, N), jnp.uint8)
-    n = jax.ShapeDtypeStruct((batch,), jnp.int32)
-    exe = _stage_full_b.lower(d, n).compile()
-    with open(_stamp_path() + "_b", "w") as f:
-        f.write(f"{_src_hash()} {batch}")
-    return exe
-
-
 def warm_aot_full(level: int = 9, lean_only: bool = False):
     """AOT-compile the fused single-launch graphs (minutes of remote compile
     service time, zero chip time) and stamp the cache so _transform routes
@@ -513,7 +378,7 @@ def _transform(data, n, lean: bool = False):
     return (key, *post)
 
 
-def warm_aot(level: int = 9, batch: int = 0):
+def warm_aot(level: int = 9):
     """AOT-lower-and-compile the production stage graphs (persistent-cache
     warm) without running them: the remote compile service does the work, no
     chip time or input upload needed. Returns the compiled executables."""
@@ -524,15 +389,10 @@ def warm_aot(level: int = 9, batch: int = 0):
     d = jax.ShapeDtypeStruct((N,), _j.uint8)
     l = jax.ShapeDtypeStruct((N,), _j.uint8)
     n = jax.ShapeDtypeStruct((), _j.int32)
-    outs = [
+    return [
         _stage_bwt.lower(d, n).compile(),
         _stage_post.lower(l, n).compile(),
     ]
-    if batch > 1:
-        db = jax.ShapeDtypeStruct((batch, N), _j.uint8)
-        nb = jax.ShapeDtypeStruct((batch,), _j.int32)
-        outs.append(_stage_bwt_b.lower(db, nb).compile())
-    return outs
 
 
 def materialize(out):
@@ -722,241 +582,10 @@ class DeviceBlockEncoder:
         acc.put_words(np.asarray(words), payload_bits)
         return acc
 
-    def transform_batch(self, rle1_blocks_list):
-        """B blocks -> batched device pipeline.
-
-        Returns (key[B], posts) where posts[b] is the per-block fused-post
-        output tuple (syms, rle2_len, freqs, used, syms_u8, hi_packed,
-        hi_count, hist), all device arrays.
-
-        The BWT runs as ONE vmapped launch (the dominant kernel; its batched
-        graph compiles fine), one unstack launch splits its output, then the
-        fused post stage runs per block — 2+B launches per batch. The fully
-        batched one-launch-per-stage variants (vmap and the flat
-        block-namespaced formulation, incl. the Pallas dominance kernel)
-        exceeded 40-minute compiles on this backend's remote compile service
-        — the [B*N]-element sort/scan graphs themselves are the explosion —
-        and remain selectable (CPU-tested) via TPUBZ_BATCH_STAGES=flat|vmap
-        for backends with a sane compiler.
-        """
-        B = len(rle1_blocks_list)
-        pad = np.zeros((B, self.N), np.uint8)
-        ns = np.zeros(B, np.int32)
-        for i, blk in enumerate(rle1_blocks_list):
-            pad[i, : blk.size] = blk
-            ns[i] = blk.size  # 0 stays 0: same degenerate-block semantics
-            # as the per-block transform (kernels guard n internally)
-        data = jnp.asarray(pad)
-        n = jnp.asarray(ns)
-        if _probe_full_b() == B:
-            # ONE launch for the whole batch (fused batched graph, AOT-
-            # warmed at exactly this batch size). The outputs stay as whole
-            # batched arrays — per-block indexing would dispatch one slice
-            # program per block — and the materialize/devrefine consumers
-            # slice on host after one fetch.
-            return ("b", _stage_full_b(data, n))
-        key, last = _stage_bwt_b(data, n)
-        mode = os.environ.get("TPUBZ_BATCH_STAGES", "perblock")
-        if mode in ("vmap", "flat"):
-            if mode == "vmap":
-                ranks, used = _stage_mtf_b(last, n)
-                syms, rle2_len, freqs, hist = _stage_rle2hist_b(ranks, n, used)
-            else:
-                ranks, used = _stage_mtf_flat(last, n)
-                syms, rle2_len, freqs, hist = _stage_rle2hist_flat(
-                    ranks, n, used
-                )
-            syms_u8, hi_packed, hi_count = _stage_compact_b(syms, rle2_len)
-            posts = [
-                (
-                    syms[i], rle2_len[i], freqs[i], used[i], syms_u8[i],
-                    hi_packed[i], hi_count[i], hist[i],
-                )
-                for i in range(B)
-            ]
-            return ("p", key, posts)
-        lasts = _unstack(last)
-        posts = [
-            _stage_post(lasts[i], jnp.int32(int(ns[i]))) for i in range(B)
-        ]
-        return ("p", key, posts)
-
-    # hostref-refine and devrefine batches share the transform; the paths
-    # differ only in what they fetch from the per-block post tuples
-    transform_batch_hostref = transform_batch
-
-    @staticmethod
-    def materialize_batch(tr):
-        """One device_get for a whole transform_batch output; returns a list
-        of per-block (key, syms u16, rle2_len, freqs, used) tuples."""
-        if tr[0] == "b":
-            (key, syms, rle2_len, freqs, used, syms_u8, hi_packed,
-             hi_count, _hist) = tr[1]
-            key_a, len_a, freqs_a, used_a, u8_a, hp_a, hc_a = jax.device_get(
-                (key, rle2_len, freqs, used, syms_u8, hi_packed, hi_count)
-            )
-            out = []
-            for b in range(key_a.shape[0]):
-                hc = int(hc_a[b])
-                if hc > HI_CAP:
-                    s = np.asarray(syms[b])
-                else:
-                    s = u8_a[b].astype(np.uint16)
-                    if hc:
-                        packed = hp_a[b][:hc]
-                        s[packed >> 1] = 256 + (packed & 1)
-                out.append(
-                    (int(key_a[b]), s, int(len_a[b]), freqs_a[b], used_a[b])
-                )
-            return out
-        _, key, posts = tr
-        key_a, fetched = jax.device_get(
-            (key, [(p[1], p[2], p[3], p[4], p[5], p[6]) for p in posts])
-        )
-        out = []
-        for b, (len_b, freqs_b, used_b, u8_b, hp_b, hc_b) in enumerate(fetched):
-            hc = int(hc_b)
-            if hc > HI_CAP:
-                s = np.asarray(posts[b][0])
-            else:
-                s = u8_b.astype(np.uint16)
-                if hc:
-                    packed = hp_b[:hc]
-                    s[packed >> 1] = 256 + (packed & 1)
-            out.append((int(key_a[b]), s, int(len_b), freqs_b, used_b))
-        return out
-
-    def encode_batch_devrefine(self, tr, crcs) -> list:
-        """Batched device refinement + packing: the per-pass argmin/rfreq and
-        the payload pack run ONCE per batch (one launch each), with the
-        per-block tree builds and snapshot tracking on host. Byte-identical
-        to emit_block per block (same trajectory, same snapshot + early-stop
-        rule applied per block)."""
-        from ..kernels.huffman_dev import nsel_cap
-        from ..native import code_lengths_native
-
-        if tr[0] == "b":
-            (key_d, syms_d, rle2_len_d, freqs_d, used_d, _u8, _hp, _hc,
-             hist_d) = tr[1]
-            key_a, len_a, freqs_a, used_a = jax.device_get(
-                (key_d, rle2_len_d, freqs_d, used_d)
-            )
-        else:
-            _, key_d, posts = tr
-            syms_d = jnp.stack([p[0] for p in posts])
-            rle2_len_d = jnp.stack([p[1] for p in posts])
-            hist_d = jnp.stack([p[7] for p in posts])
-            key_a, len_a, freqs_a, used_a = jax.device_get(
-                (
-                    key_d,
-                    rle2_len_d,
-                    [p[2] for p in posts],
-                    [p[3] for p in posts],
-                )
-            )
-        B = len(crcs)
-        alphas = [int(used_a[b].sum()) + 2 for b in range(B)]
-        tcs = np.array(
-            [group_count_for(int(len_a[b])) for b in range(B)], np.int32
-        )
-        nsels = [
-            (int(len_a[b]) + GROUP_SIZE - 1) // GROUP_SIZE for b in range(B)
-        ]
-        lens_all = np.zeros((B, 6, 258), np.int64)
-        for b in range(B):
-            lens_all[b] = c_init_tables(
-                freqs_a[b].astype(np.int64), int(tcs[b]), alphas[b]
-            )
-        iters = huffman_iters()
-        best = [None] * B
-        stale = [0] * B
-        stopped = [False] * B
-        for it in range(iters):
-            if all(stopped):
-                break
-            sel_d, rfreq_d = _refine_pass_b(
-                hist_d, jnp.asarray(lens_all, jnp.int32), jnp.asarray(tcs)
-            )
-            sel_a, rfreq_a = jax.device_get((sel_d, rfreq_d))
-            for b in range(B):
-                if stopped[b]:
-                    continue
-                alpha, tc, nsel = alphas[b], int(tcs[b]), nsels[b]
-                sel = sel_a[b, :nsel].astype(np.int64)
-                rfreq64 = rfreq_a[b].astype(np.int64)
-                for t in range(tc):
-                    cl = code_lengths_native(rfreq64[t], alpha)
-                    if cl is None:
-                        cl = c_code_lengths(rfreq64[t], alpha)
-                    lens_all[b, t, :alpha] = cl
-                payload = int(
-                    (rfreq64[:tc, :alpha] * lens_all[b, :tc, :alpha]).sum()
-                )
-                sel_bits = int(mtf_selectors(sel, tc).sum()) + nsel
-                dl = int(
-                    np.abs(np.diff(lens_all[b, :tc, :alpha], axis=1)).sum()
-                )
-                bits = payload + sel_bits + dl * 2 + tc * (alpha + 5)
-                if best[b] is None or bits < best[b][0]:
-                    best[b] = (bits, sel, lens_all[b].copy(), rfreq64.copy())
-                    stale[b] = 0
-                else:
-                    stale[b] += 1
-                if it >= 3 and stale[b] >= 1:
-                    stopped[b] = True
-        # batched pack with each block's best snapshot
-        NSEL = nsel_cap(syms_d.shape[1])
-        codes_pad = np.zeros((B, 6, 258), np.uint32)
-        lens_pad = np.zeros((B, 6, 258), np.int32)
-        sel_pad = np.zeros((B, NSEL), np.int8)
-        headers = []
-        payload_bits_all = []
-        for b in range(B):
-            _, sel_b, lens_b, rfreq_b = best[b]
-            alpha, tc = alphas[b], int(tcs[b])
-            payload_bits_all.append(
-                int((rfreq_b[:tc, :alpha] * lens_b[:tc, :alpha]).sum())
-            )
-            acc = BitAccum()
-            acc.put(BLOCK_MAGIC, 48)
-            acc.put(crcs[b], 32)
-            acc.put(0, 1)
-            acc.put(int(key_a[b]), 24)
-            codes = huffman_emit_headers(
-                acc, used_a[b], sel_b, lens_b[:, :alpha], tc
-            )
-            codes_pad[b, :tc, :alpha] = codes
-            lens_pad[b, :tc, :alpha] = lens_b[:tc, :alpha]
-            sel_pad[b, : nsels[b]] = sel_b
-            headers.append(acc)
-        words_d, total_d = _pack_b(
-            syms_d,
-            rle2_len_d,
-            jnp.asarray(sel_pad),
-            jnp.asarray(codes_pad),
-            jnp.asarray(lens_pad),
-        )
-        max_words = max((pb + 31) // 32 for pb in payload_bits_all)
-        cap = 4096
-        while cap < max_words:
-            cap *= 2
-        cap = min(cap, words_d.shape[1])
-        words_a, totals = jax.device_get((words_d[:, :cap], total_d))
-        accs = []
-        for b in range(B):
-            if int(totals[b]) != payload_bits_all[b]:
-                log.error(
-                    "device payload bits diverged for block %d; host fallback", b
-                )
-                syms_b = np.asarray(syms_d[b])
-                accs.append(
-                    self.emit_block(
-                        int(key_a[b]), syms_b, int(len_a[b]), freqs_a[b],
-                        used_a[b], crcs[b],
-                    )
-                )
-                continue
-            acc = headers[b]
-            acc.put_words(np.asarray(words_a[b]), payload_bits_all[b])
-            accs.append(acc)
-        return accs
+    # transform_batch / materialize_batch / encode_batch_devrefine (the
+    # single-chip batched stream machinery) were REMOVED in r4: the route
+    # lost its third consecutive measured shootout (17.8 vs 34.7 MB/s at
+    # 32 MB with warm caches and the improved kernels; PERFORMANCE.md r4).
+    # The winning parts live on in dist/sharded.py (lax.map convergence BWT
+    # + flat batch mtf/rle2), which is the path that actually needs
+    # multi-block-per-dispatch semantics.

@@ -51,15 +51,16 @@ _reprobe_left_g = [1]
 # this into BENCH_r*.json so throughput swings are explainable: which engine
 # carried the blocks and what each engine's per-block cost measured)
 last_stream_stats: dict = {}
-# device-refine path: refinement argmin/rfreq + payload packing on device,
-# only sidecars + packed bits cross the link (VERDICT r1 items 1-2). Its
-# per-pass link round trips are latency-bound on the relay rig, where the
-# measured shootout (8MB -9) put per-block host-refine at 4.6-5.3 MB/s vs
-# 2.1-3.0 for the device-refine variants, so host refine is the default;
-# set TPUBZ_DEVICE_REFINE=1 on locally-attached chips where launch/RTT
-# overhead is microseconds and only packed bits should cross the link.
-DEVICE_REFINE = os.environ.get("TPUBZ_DEVICE_REFINE", "0") != "0"
-# which stages run on device per block: "full" = bwt+mtf+rle2 (3-launch
+# Routing table note (r4): two env-gated routes were REMOVED after losing
+# their re-shootout at the improved kernels (32 MB, warm caches, same
+# phase): the device-refine route (refinement argmin/rfreq + payload pack
+# on device; 20.3 vs 34.7 MB/s — its per-pass link round trips stay
+# latency-bound) and the batched multi-block-per-call route (17.8 vs 34.7
+# MB/s). The device-refine ENGINE survives as the byte-identity-tested
+# DeviceBlockEncoder.encode_block_devrefine (kernels/huffman_dev.py — the
+# MXU refinement formulation); batching survives where it measured WELL:
+# dist/sharded.py's lax.map convergence BWT + flat batch stages.
+# Which stages run on device per block: "full" = bwt+mtf+rle2 (3-launch
 # lean chain), "bwt" = suffix sort only with native host MTF/RLE2 on the
 # fetched last column, "auto" (default) = derive from the measured rig
 # profile (rigprofile.choose_stage) — the chip-vs-host economics differ per
@@ -68,27 +69,7 @@ DEVICE_REFINE = os.environ.get("TPUBZ_DEVICE_REFINE", "0") != "0"
 # and the profile records what THIS rig measured instead of baking one
 # rig's numbers in as defaults.
 DEVICE_STAGE = os.environ.get("TPUBZ_DEVICE_STAGE", "auto")
-if DEVICE_REFINE:
-    DEVICE_STAGE = "full"  # device refine consumes the on-device symbols
-EMIT_THREADS = int(
-    os.environ.get("TPUBZ_EMIT_THREADS", "6" if DEVICE_REFINE else "3")
-)
-# blocks per device call: "auto" (default) uses the AOT-warmed batched
-# fused graph's batch size when its stamp is current (one launch and one
-# large upload per batch amortize the relay's ~40ms per-call overhead),
-# else one block per call; an integer forces that batch size.
-_BATCH_ENV = os.environ.get("TPUBZ_BATCH", "auto")
-
-
-def _batch_size() -> int:
-    if _BATCH_ENV != "auto":
-        return int(_BATCH_ENV)
-    try:
-        from ..block.encode import _probe_full_b
-
-        return _probe_full_b()
-    except Exception:
-        return 0
+EMIT_THREADS = int(os.environ.get("TPUBZ_EMIT_THREADS", "3"))
 
 _encoders: dict[int, object] = {}
 
@@ -271,21 +252,6 @@ def _device_block_results(enc, arr, out, blocks):
     bound native engine's oversubscription knee). Aggregate
     throughput becomes device rate + CPU rate; ordering is preserved by the
     same in-flight deque."""
-    BATCH = _batch_size()
-    if BATCH > 1 and len(blocks) >= BATCH:
-        # full batches only: every distinct batch shape compiles its own
-        # device program, so the batched path always runs exactly BATCH
-        # blocks per call and the remainder takes the per-block path below
-        full = len(blocks) // BATCH * BATCH
-        gen = (
-            _device_block_results_batched
-            if DEVICE_REFINE
-            else _hostref_block_results_batched
-        )
-        yield from gen(enc, arr, out, blocks[:full])
-        blocks = blocks[full:]
-        if not blocks:
-            return
     from concurrent.futures import (
         FIRST_COMPLETED,
         ThreadPoolExecutor,
@@ -318,12 +284,6 @@ def _device_block_results(enc, arr, out, blocks):
         blk = DeviceBlockEncoder.emit_block(key, syms, rle2_len, freqs, used, crc)
         data, nbits = blk.pack()
         leg_samples.append(time.time() - t0)
-        return crc, data, nbits
-
-    def emit_devrefine(trans_out, i0, i1):
-        crc = block_crc(arr[i0:i1])
-        blk = enc.encode_block_devrefine(trans_out, crc)
-        data, nbits = blk.pack()
         return crc, data, nbits
 
     def _materialize_bwt(bfut):
@@ -577,23 +537,13 @@ def _device_block_results(enc, arr, out, blocks):
                 lambda: _materialize_bwt(launch_fut.result())
             )
             f = emit_pool.submit(emit_bwt_timed, fetch_fut, t_disp, i0, i1)
-        elif DEVICE_REFINE:
-            # fallback routes can hit a cold compile (stale persistent
-            # cache after a kernel edit), so their jitted dispatch runs on
-            # a pool thread: a compile storm then stalls one in-flight
-            # block — which the drain's straggler guard duplicates onto a
-            # CPU worker — instead of wedging the main dispatch loop (and
-            # the whole stream) for minutes
-            f = emit_pool.submit(
-                lambda: _timed(
-                    lambda: emit_devrefine(
-                        enc.transform(blk, lean=False), i0, i1
-                    ),
-                    t_disp,
-                )
-            )
         else:
-            # host-refine never reads freqs/hist on device: lean graph
+            # full-chain route, host refine (never reads freqs/hist on
+            # device: lean graph). Runs via the pools so a cold compile
+            # (stale persistent cache after a kernel edit) stalls one
+            # in-flight block — which the drain's straggler guard
+            # duplicates onto a CPU worker — instead of wedging the main
+            # dispatch loop for minutes.
             fetch_fut = fetch_pool.submit(
                 lambda: materialize(enc.transform(blk, lean=True))
             )
@@ -790,90 +740,3 @@ def _device_block_results(enc, arr, out, blocks):
         emit_pool.shutdown(wait=False)
         if cpu_pool is not None:
             cpu_pool.shutdown(wait=False)
-
-
-def _hostref_block_results_batched(enc, arr, out, blocks):
-    """Batched transform + HOST refinement: one batched BWT launch and ONE
-    device_get per batch; refinement/emission for the batch's blocks run in
-    parallel on the emit pool. The fastest configuration on launch-overhead-
-    bound backends (the relay rig): fewer launches than per-block, no
-    per-pass device round trips."""
-    from concurrent.futures import ThreadPoolExecutor
-
-    from ..block.encode import DeviceBlockEncoder
-
-    BATCH = _batch_size()
-    batches = [blocks[i : i + BATCH] for i in range(0, len(blocks), BATCH)]
-    fetch_pool = ThreadPoolExecutor(
-        int(os.environ.get("TPUBZ_FETCH_THREADS", "4"))
-    )
-    emit_pool = ThreadPoolExecutor(max(EMIT_THREADS, 3))
-
-    def emit_one(mats, j, i0, i1):
-        key, syms, rle2_len, freqs, used = mats[j]
-        crc = block_crc(arr[i0:i1])
-        blk = DeviceBlockEncoder.emit_block(key, syms, rle2_len, freqs, used, crc)
-        data, nbits = blk.pack()
-        return crc, data, nbits
-
-    inflight: deque = deque()
-    try:
-        for batch in batches:
-            tr = enc.transform_batch_hostref(
-                [out[o0:o1] for (o0, o1, _, _) in batch]
-            )
-            mat_fut = fetch_pool.submit(DeviceBlockEncoder.materialize_batch, tr)
-            futs = []
-            for j, (_, _, i0, i1) in enumerate(batch):
-                futs.append(
-                    emit_pool.submit(
-                        lambda mf=mat_fut, jj=j, a=i0, b=i1: emit_one(
-                            mf.result(), jj, a, b
-                        )
-                    )
-                )
-            inflight.append(futs)
-            log.debug("in-flight hostref batches: %d", len(inflight))
-            if len(inflight) >= 3:
-                for f in inflight.popleft():
-                    yield f.result()
-        while inflight:
-            for f in inflight.popleft():
-                yield f.result()
-    finally:
-        fetch_pool.shutdown(wait=False)
-        emit_pool.shutdown(wait=False)
-
-
-def _device_block_results_batched(enc, arr, out, blocks):
-    """Batched device pipeline: B blocks per device call (3 transform
-    launches + ~8 refine launches + 1 pack launch per BATCH instead of per
-    block). A small window of batches stays in flight so one batch's
-    host-side tree builds overlap another's device work."""
-    from concurrent.futures import ThreadPoolExecutor
-
-    BATCH = _batch_size()
-    batches = [
-        blocks[i : i + BATCH] for i in range(0, len(blocks), BATCH)
-    ]
-    pool = ThreadPoolExecutor(int(os.environ.get("TPUBZ_BATCH_THREADS", "3")))
-
-    def process(batch):
-        crcs = [block_crc(arr[i0:i1]) for (_, _, i0, i1) in batch]
-        tr = enc.transform_batch([out[o0:o1] for (o0, o1, _, _) in batch])
-        accs = enc.encode_batch_devrefine(tr, crcs)
-        return [
-            (crc, *acc.pack()) for crc, acc in zip(crcs, accs)
-        ]
-
-    inflight: deque = deque()
-    try:
-        for batch in batches:
-            inflight.append(pool.submit(process, batch))
-            log.debug("in-flight device batches: %d", len(inflight))
-            if len(inflight) >= 3:
-                yield from inflight.popleft().result()
-        while inflight:
-            yield from inflight.popleft().result()
-    finally:
-        pool.shutdown(wait=False)
