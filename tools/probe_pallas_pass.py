@@ -101,11 +101,17 @@ def make_stage_kernel(js, mode):
 
 
 def timeit(fn, x, trials=5):
+    """Vary the input VALUE per trial: this relay dedupes repeated
+    identical dispatches, so timing the same (fn, x) five times measures
+    one execution and four cache hits (the r4 first run of this probe read
+    a NEGATIVE 8-pass marginal that way)."""
     jax.device_get(fn(x))
     ts = []
-    for _ in range(trials):
+    for t in range(trials):
+        xt = x + jnp.int32(t + 1)
+        jax.block_until_ready(xt)
         t0 = time.time()
-        jax.device_get(fn(x))
+        jax.device_get(fn(xt))
         ts.append((time.time() - t0) * 1000)
     return statistics.median(ts)
 
@@ -147,15 +153,22 @@ def main():
             return acc
         return f
 
+    # deep chains: a single pass costs ~0.1 ms, far below the ~±3 ms RTT
+    # noise of one call — k=25 puts 24 extra kernel applications in the
+    # graph so the marginal rises well clear of the noise floor
+    K2 = 25
     for name, kern in cases.items():
         if kern is None:
             continue
-        f1, f3 = chain(kern, 1), chain(kern, 3)
+        f1, fk = chain(kern, 1), chain(kern, K2)
         t1 = timeit(f1, xs)
-        t3 = timeit(f3, xs)
+        tk = timeit(fk, xs)
+        npass = {"row2": 2, "row8": 8, "lane2": 2, "lane8": 8}[name]
+        marg = (tk - t1) / (K2 - 1)
         print(
-            f"{name:8s} t(1)={t1:7.1f} t(3)={t3:7.1f}"
-            f" marginal={(t3-t1)/2:7.2f} ms",
+            f"{name:8s} t(1)={t1:7.1f} t({K2})={tk:7.1f}"
+            f" marginal={marg:7.2f} ms/app = {marg / npass * 1000:6.0f}"
+            f" us/pass",
             flush=True,
         )
 
