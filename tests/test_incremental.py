@@ -141,6 +141,21 @@ def test_decompressor_parallel_predecode_many_blocks(rng):
     assert dec.unused_data + blob[i:] == b"AFTER"
 
 
+def test_decompressor_predecode_small_chunks(rng):
+    """Chunks SMALLER than a compressed block: every candidate's first
+    pre-decode attempt sees a truncated buffer and fails; the scan must
+    resubmit it once the block is plausibly complete (successor magic
+    buffered, or 256 KiB growth for the tail) instead of parking it as a
+    dead None forever (r4 review finding)."""
+    d = bytes(rng.integers(0, 256, 1_200_000, dtype=np.uint8))  # ~12 blocks
+    blob = bz2.compress(d, 1)
+    dec = tpubz.BZ2Decompressor()
+    out = bytearray()
+    for i in range(0, len(blob), 64 * 1024):
+        out += dec.decompress(blob[i : i + 64 * 1024])
+    assert bytes(out) == d and dec.eof
+
+
 def test_decompressor_predecode_concatenated_streams(rng):
     """Two concatenated streams fed as one blob: block magics of the SECOND
     stream get scanned and possibly pre-decoded while the first is still

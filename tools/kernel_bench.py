@@ -16,10 +16,11 @@ backend dedupes repeated identical dispatches):
 Prints one JSON line per measurement.
 """
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 import jax

@@ -18,9 +18,9 @@ drops both sorts for ~2 extra chunk^2 reduction passes.
 
 Usage: python tools/probe_mtf_sortless.py [cpu]
 """
-import sys, time
+import os, sys, time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import os
 
 if "cpu" in sys.argv[1:]:

@@ -74,9 +74,12 @@ def _mtf_use_pallas() -> bool:
     (tools/probe_mtf_pallas_marginal.py, r4: the r3 kernel rewrite flipped
     r2's dispatch-level loss) AND it streams the dominance reduction
     through VMEM instead of materializing (nc, 256, 256) boolean tensors in
-    HBM. jnp on CPU (tests/virtual mesh): the interpreter-mode Pallas call
-    is orders slower and XLA-CPU fuses the jnp form fine."""
-    return jax.default_backend() != "cpu"
+    HBM. Everywhere else the jnp form: on CPU (tests/virtual mesh) the
+    interpreter-mode Pallas call is orders slower and XLA-CPU fuses the
+    jnp expression fine, and the kernel's Mosaic/VMEM lowering is TPU-only
+    (a GPU backend would fail to compile it, so the test must be == "tpu",
+    not != "cpu")."""
+    return jax.default_backend() == "tpu"
 
 
 @jax.jit
@@ -251,6 +254,9 @@ def _src_hash() -> str:
         _stage_rle2c,
         _stage_mtf,
         _rle2_compact,
+        # not a stage, but its return value selects the dominance engine
+        # inside the traced graphs — an edit here must invalidate stamps
+        _mtf_use_pallas,
     ):
         h.update(inspect.getsource(getattr(fn, "__wrapped__", fn)).encode())
     h.update(f"{MTF_CHUNK},{HI_CAP}".encode())
@@ -440,11 +446,22 @@ def materialize(out):
     if hc > HI_CAP:
         s = np.asarray(syms)
     else:
-        s = syms_u8.astype(np.uint16)
-        if hc:
-            packed = hi_packed[:hc]
-            s[packed >> 1] = 256 + (packed & 1)
+        s = uncompact_syms(syms_u8, hi_packed, hc)
     return int(key), s, int(rle2_len), freqs, used
+
+
+def uncompact_syms(syms_u8, hi_packed, hc: int) -> np.ndarray:
+    """Invert _stage_compact's transfer form: u8 stream -> u16 symbols with
+    the packed sidecar's rare symbols >= 256 patched back in. THE single
+    host-side decoder of the `(pos << 1) | (sym - 256)` contract — every
+    consumer (materialize here, dist/multihost's shard fetch) must route
+    through it so a packing change cannot silently desynchronize them.
+    Caller handles sidecar overflow (hc > HI_CAP) by fetching full rows."""
+    s = syms_u8.astype(np.uint16)
+    if hc:
+        packed = hi_packed[:hc]
+        s[packed >> 1] = 256 + (packed & 1)
+    return s
 
 
 def materialize_syms(out) -> np.ndarray:

@@ -60,7 +60,12 @@ def compress_multihost(data: bytes | np.ndarray, level: int = 9):
     from jax.experimental import multihost_utils
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from ..block.encode import HI_CAP, DeviceBlockEncoder, setup_jax_cache
+    from ..block.encode import (
+        HI_CAP,
+        DeviceBlockEncoder,
+        setup_jax_cache,
+        uncompact_syms,
+    )
     from .sharded import block_mesh, make_sharded_transform
 
     if not 1 <= level <= 9:
@@ -132,10 +137,7 @@ def compress_multihost(data: bytes | np.ndarray, level: int = 9):
                     [np.asarray(s.data) for s in outs[1].addressable_shards]
                 )[r]
             else:
-                syms_r = u8_l[r].astype(np.uint16)
-                if hc:
-                    hi = hip_l[r, :hc]
-                    syms_r[hi >> 1] = 256 + (hi & 1)
+                syms_r = uncompact_syms(u8_l[r], hip_l[r], hc)
             acc = DeviceBlockEncoder.emit_block(
                 int(key_l[r]), syms_r, int(len_l[r]), freq_l[r], used_l[r], crc
             )
@@ -288,23 +290,31 @@ def decompress_multihost(data: bytes) -> bytes | None:
 
     # ---- local pre-decode + windowed gather ----
     def try_decode(i):
+        """Returns (raw, end_bit, blk_crc, actual, used_level) or None.
+
+        A payload false-positive "BZh" header between this candidate's true
+        stream header and the candidate can mislevel it; decode is level-
+        independent apart from the output cap, so a failed pre-decode
+        retries at the format maximum before giving up — otherwise one
+        bogus header collapses parallelism for every later candidate. The
+        level actually used rides along because a retry at 9 enforces a
+        LOOSER output cap than the stream's true level: the stitch must not
+        accept such a result for a lower-level stream (it would admit
+        oversized blocks the serial decoder rejects), so it re-decodes at
+        the true level whenever used_level exceeds it."""
         try:
-            return decode_block_native(arr, candidates[i] + 48, cand_levels[i])
+            res = decode_block_native(arr, candidates[i] + 48, cand_levels[i])
+            return (*res, cand_levels[i])
         except ValueError:
-            # a payload false-positive "BZh" header between this candidate's
-            # true stream header and the candidate can mislevel it; decode is
-            # level-independent apart from the output cap (the stitch
-            # re-checks CRCs), so a failed pre-decode retries at the format
-            # maximum before giving up — otherwise one bogus header collapses
-            # parallelism for every later candidate in the stream
             if cand_levels[i] < 9:
                 try:
-                    return decode_block_native(arr, candidates[i] + 48, 9)
+                    res = decode_block_native(arr, candidates[i] + 48, 9)
+                    return (*res, 9)
                 except ValueError:
                     return None
             return None
 
-    decoded: dict[int, tuple[np.ndarray, int, int, int]] = {}
+    decoded: dict[int, tuple[np.ndarray, int, int, int, int]] = {}
     if nproc == 1:
         mine = list(range(len(candidates)))
         if mine:
@@ -312,7 +322,7 @@ def decompress_multihost(data: bytes) -> bytes | None:
                 for i, res in zip(mine, ex.map(try_decode, mine)):
                     if res is not None:
                         decoded[candidates[i]] = (
-                            res[0], res[1], int(res[2]), int(res[3])
+                            res[0], res[1], int(res[2]), int(res[3]), res[4]
                         )
     else:
         # Candidates are processed in WINDOWS so peak host memory is bounded
@@ -338,11 +348,12 @@ def decompress_multihost(data: bytes) -> bytes | None:
                 # int32 — CRCs above 2^31 and bit offsets in large streams
                 # would corrupt. Field 0 stores c+1 so an all-zero row means
                 # "empty slot".
-                meta = np.zeros((rows, 10), np.uint32)
+                meta = np.zeros((rows, 12), np.uint32)
                 for j, c in enumerate(sorted(local)):
-                    raw, end_bit, blk_crc, actual = local[c]
+                    raw, end_bit, blk_crc, actual, used_lvl = local[c]
                     fields = (
-                        c + 1, int(end_bit), int(blk_crc), int(actual), raw.size
+                        c + 1, int(end_bit), int(blk_crc), int(actual),
+                        raw.size, used_lvl,
                     )
                     for f, v in enumerate(fields):
                         meta[j, 2 * f] = v & 0xFFFFFFFF
@@ -387,6 +398,7 @@ def decompress_multihost(data: bytes) -> bytes | None:
                             fld(p, j, 1),
                             fld(p, j, 2),
                             fld(p, j, 3),
+                            fld(p, j, 5),
                         )
                         off += size
         finally:
@@ -419,9 +431,16 @@ def decompress_multihost(data: bytes) -> bytes | None:
             if tag != BLOCK_MAGIC:
                 raise ValueError("invalid block header magic")
             hit = decoded.get(pos)
+            if hit is not None and hit[4] > level:
+                # pre-decoded under a looser output cap than this stream's
+                # true level enforces (the mislevel-retry path): re-decode
+                # at the true level so an oversized block raises exactly as
+                # the serial/single-host decoders would
+                hit = None
             if hit is None:
                 hit = decode_block_native(arr, pos + 48, level)
-            raw, end_bit, blk_crc, actual = hit
+                hit = (*hit, level)
+            raw, end_bit, blk_crc, actual, _ = hit
             if int(actual) != int(blk_crc):
                 raise ValueError(
                     f"block CRC mismatch: stream says {int(blk_crc):#010x}, got {int(actual):#010x}"

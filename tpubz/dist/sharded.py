@@ -62,9 +62,10 @@ def make_sharded_transform(mesh: Mesh, N: int, axis: str = "blocks"):
             lambda a: bwt_forward(a[0], a[1], skip_converged="batch"),
             (data, n),
         )
+        from ..block.encode import _mtf_use_pallas
+
         ranks, used = mtf_ranks_batch(
-            lasts, n, chunk=MTF_CHUNK,
-            use_pallas=jax.default_backend() != "cpu",
+            lasts, n, chunk=MTF_CHUNK, use_pallas=_mtf_use_pallas()
         )
         eob = jnp.sum(used, axis=1).astype(jnp.int32) + 1
         syms, rle2_len, freqs = rle2_encode_batch(ranks, n, eob)

@@ -121,8 +121,8 @@ class BZ2Decompressor:
 
     def _shutdown_pool(self) -> None:
         if self._pool is not None:
-            for f, _ in self._predec.values():
-                f.cancel()
+            for ent in self._predec.values():
+                ent[0].cancel()
             self._pool.shutdown(wait=False)
             self._pool = None
         self._predec = {}
@@ -137,7 +137,17 @@ class BZ2Decompressor:
         """Scan newly buffered bytes for block magics and pre-decode the
         candidates on a thread pool (native decoder releases the GIL). A
         payload false positive just wastes one failed decode; the serial
-        walk in _step only consumes a result whose offset it reaches."""
+        walk in _step only consumes a result whose offset it reaches.
+
+        A candidate's first attempt may see a TRUNCATED snapshot (its block
+        still partly unreceived — the normal case when the caller feeds
+        chunks smaller than a compressed block), so a failed attempt is
+        RESUBMITTED against the grown buffer once the block is plausibly
+        complete: when a later magic has appeared behind it (the block's
+        end is certainly buffered) or, for the stream-tail block with no
+        successor, when the buffer has grown >= 256 KiB past the attempt's
+        snapshot. Without this, one premature failure parked the candidate
+        forever and chunked feeds degraded to fully serial decode."""
         from .format.constants import BLOCK_MAGIC
         from .native import decode_block_native, find_magic_native, get_lib
 
@@ -147,10 +157,11 @@ class BZ2Decompressor:
             self._scanned = len(self._buf)
             return
         arr = np.frombuffer(self._buf, np.uint8)
+        cur_len = len(self._buf)
         lo = max(self._scanned - 7, 0)
         hits = find_magic_native(arr[lo:], BLOCK_MAGIC)
-        self._scanned = len(self._buf)
-        if hits is None or not len(hits):
+        self._scanned = cur_len
+        if (hits is None or not len(hits)) and not self._predec:
             return
         if self._pool is None:
             from concurrent.futures import ThreadPoolExecutor
@@ -166,10 +177,25 @@ class BZ2Decompressor:
             except ValueError:
                 return None
 
-        for h in hits:
-            b0 = int(h) + lo * 8
-            if b0 >= self._pos and b0 not in self._predec:
-                self._predec[b0] = [self._pool.submit(_try, b0), 0]
+        if hits is not None:
+            for h in hits:
+                b0 = int(h) + lo * 8
+                if b0 >= self._pos and b0 not in self._predec:
+                    self._predec[b0] = [self._pool.submit(_try, b0), 0, cur_len]
+        max_b0 = max(self._predec, default=-1)
+        for b0, ent in self._predec.items():
+            fut, _sh, snap = ent
+            if (
+                snap < cur_len
+                and fut.done()
+                and fut.result() is None
+                and (b0 < max_b0 or cur_len - snap >= 1 << 18)
+            ):
+                # retry on the grown buffer; offsets are current-base, so
+                # the accumulated re-base shift resets with the new arr
+                ent[0] = self._pool.submit(_try, b0)
+                ent[1] = 0
+                ent[2] = cur_len
 
     def _parse_header(self) -> bool:
         from .format.constants import STREAM_MAGIC
@@ -255,9 +281,9 @@ class BZ2Decompressor:
             self._buf = self._buf[drop:]
             self._pos -= drop * 8
             shifted: dict[int, list] = {}
-            for k, (f, sh) in self._predec.items():
+            for k, (f, sh, snap) in self._predec.items():
                 if k - drop * 8 >= self._pos:
-                    shifted[k - drop * 8] = [f, sh + drop * 8]
+                    shifted[k - drop * 8] = [f, sh + drop * 8, max(snap - drop, 0)]
                 else:
                     f.cancel()
             self._predec = shifted
