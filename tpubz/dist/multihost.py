@@ -115,14 +115,20 @@ def compress_multihost(data: bytes | np.ndarray, level: int = 9):
         # fetch only the addressable (local) shards, and only the COMPACT
         # symbol form (u8 stream + sidecar of the rare symbols >= 256 —
         # 4x less D2H than the i32 rows); the full symbol rows are fetched
-        # per row only on sidecar overflow
-        def _local(o):
-            return np.concatenate(
-                [np.asarray(s.data) for s in o.addressable_shards]
-            )
-
+        # per row only on sidecar overflow. All seven outputs' shards move
+        # in ONE device_get: separate per-output fetches cost a full
+        # transfer round trip each (measured ~30 ms/RTT on the relay rig —
+        # 7 RTTs dominated the whole per-batch cadence; one batched fetch
+        # also lets a real pod overlap the per-shard DMAs)
+        fetch = (outs[0], *outs[2:])
+        shard_lists = [
+            [s.data for s in o.addressable_shards] for o in fetch
+        ]
+        flat = jax.device_get([d for lst in shard_lists for d in lst])
+        it = iter(flat)
         key_l, len_l, freq_l, used_l, u8_l, hip_l, hic_l = (
-            _local(o) for o in (outs[0], *outs[2:])
+            np.concatenate([np.asarray(next(it)) for _ in lst])
+            for lst in shard_lists
         )
         batch_payloads: dict[int, tuple[bytes, int]] = {}
         for r, g in enumerate(my_rows):
