@@ -12,6 +12,14 @@ import pytest
 import tpubz
 
 
+def test_module_surface_matches_stdlib():
+    # drop-in discoverability: everything stdlib bz2 exports (minus its
+    # incidental io/os imports) shows up in dir(tpubz) and __all__
+    theirs = {n for n in dir(bz2) if not n.startswith("_")} - {"io", "os"}
+    assert theirs <= set(dir(tpubz))
+    assert theirs <= set(tpubz.__all__)
+
+
 def _mixed(rng, n):
     return (
         b"the quick brown fox jumps over the lazy dog\n" * (n // 90)

@@ -18,6 +18,21 @@ Layer map (tpu-first rebuild of the reference, see SURVEY.md):
 
 __version__ = "0.1.0"
 
+# stdlib bz2's module surface; the class objects themselves load lazily
+# via __getattr__ so `import tpubz` stays numpy-only (no jax import)
+__all__ = [
+    "BZ2Compressor",
+    "BZ2Decompressor",
+    "BZ2File",
+    "compress",
+    "decompress",
+    "open",
+]
+
+
+def __dir__():
+    return sorted(set(globals()) | set(__all__))
+
 
 def open(filename, mode: str = "rb", compresslevel: int = 9,  # noqa: A001
          encoding=None, errors=None, newline=None):
