@@ -39,6 +39,42 @@ def test_rle1_random_roundtrip(rng):
         assert bytes(rle1_decode(out)) == d
 
 
+def test_rle1_feed_matches_eager_scan(rng):
+    """The streaming windowed producer (Rle1Feed) must yield exactly the
+    eager whole-input scan's blocks and bytes — including when runs span
+    window boundaries, when a window holds zero complete blocks (heavy-RLE
+    data forcing window growth), and at EOF tail-join."""
+    from tpubz.format.constants import block_budget
+    from tpubz.hostref.rle1 import Rle1Feed, rle1_blocks
+
+    budget = block_budget(1)
+    cases = {
+        "random": rng.integers(0, 256, 1_500_000, dtype=np.uint8),
+        "text": np.frombuffer(
+            (b"the quick brown fox " * 80_000)[:1_500_000], np.uint8
+        ),
+        "zeros": np.zeros(1_500_000, np.uint8),
+        "runs": np.repeat(
+            rng.integers(0, 4, 20_000), rng.integers(1, 300, 20_000)
+        ).astype(np.uint8),
+        "tiny": np.frombuffer(b"abc", np.uint8),
+        "empty": np.zeros(0, np.uint8),
+    }
+    for name, arr in cases.items():
+        out_e, blocks_e = rle1_blocks(arr, budget)
+        for window in (1 << 17, 1 << 19):
+            feed = Rle1Feed(arr, budget, window=window)
+            blocks_f = list(feed)
+            assert blocks_f == blocks_e, (name, window)
+            if blocks_e:
+                hi = blocks_e[-1][1]
+                assert np.array_equal(feed.out[:hi], out_e[:hi]), (
+                    name,
+                    window,
+                )
+            assert feed.total_estimate() == len(blocks_e)
+
+
 def test_rle1_block_split_preserves_data(rng):
     d = bytes(rng.integers(0, 4, 30000, dtype=np.uint8))
     arr = np.frombuffer(d, np.uint8)

@@ -218,6 +218,41 @@ def rle1_split_native(data: np.ndarray, budget: int):
     return out[: int(out_len[0])], [tuple(int(x) for x in row) for row in blocks[:nb]]
 
 
+def rle1_split_window(
+    arr: np.ndarray, start: int, end: int, budget: int,
+    out: np.ndarray, out_base: int,
+):
+    """Scan arr[start:end) with the native RLE1 splitter, writing output at
+    out[out_base:]. Returns (blocks, out_len) with blocks in WINDOW-LOCAL
+    coordinates ((out_lo, out_hi, in_lo, in_hi) relative to out_base/start),
+    or None when the native lib is unavailable.
+
+    The scanner treats `end` as EOF, so for end < arr.size the caller must
+    discard trailing blocks whose cut decisions could see the boundary (the
+    final block is always the scanner's forced tail-join) and re-scan from
+    the last accepted cut — cuts are segment-aligned (reference
+    src/tools/rle1.rs semantics), so a re-entered scan at a true block
+    boundary reproduces the full scan's bytes exactly.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    m = end - start
+    cap = max(4, (out.size - out_base) // max(budget - 5, 1) + 8)
+    blocks = np.zeros((cap, 4), dtype=np.int64)
+    out_len = np.zeros(1, dtype=np.int64)
+    nb = lib.tpubz_rle1_split(
+        arr.ctypes.data + start, m, budget,
+        out.ctypes.data + out_base, out_len.ctypes.data,
+        blocks.ctypes.data, cap,
+    )
+    assert nb <= cap, "rle1 block capacity underestimated"
+    return (
+        [tuple(int(x) for x in row) for row in blocks[:nb]],
+        int(out_len[0]),
+    )
+
+
 def find_magic_native(data: np.ndarray, magic: int):
     """All bit offsets of the 48-bit magic, or None if lib unavailable."""
     lib = get_lib()

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import logging
 import os
+import time
 from collections import deque
 
 import numpy as np
@@ -29,7 +30,18 @@ log = logging.getLogger("tpubz")
 from ..format.constants import FOOTER_MAGIC, STREAM_MAGIC, block_budget
 from ..format.crc import block_crc, stream_crc_fold
 from ..hostref.bitio import BitAccum, splice_byte_chunks
-from ..hostref.rle1 import rle1_blocks
+from ..hostref.rle1 import Rle1Feed, rle1_blocks
+
+
+def _block_total(blocks) -> int:
+    """Block count: exact for a materialized list, the scan-progress
+    estimate for a streaming Rle1Feed (exact once its scan finishes —
+    within the first ~100 ms of a stream at the scanner's >1 GB/s)."""
+    return (
+        blocks.total_estimate()
+        if isinstance(blocks, Rle1Feed)
+        else len(blocks)
+    )
 
 WINDOW = int(os.environ.get("TPUBZ_WINDOW", "16"))
 # engine-speed estimates shared across compress() calls (a warm-up stream
@@ -51,6 +63,13 @@ _reprobe_left_g = [1]
 # this into BENCH_r*.json so throughput swings are explainable: which engine
 # carried the blocks and what each engine's per-block cost measured)
 last_stream_stats: dict = {}
+# per-block execution spans of the most recent device-path stream:
+# (engine, block_in_lo, t_start, t_end) wall-clock tuples, appended as each
+# block's worker runs. Cheap (a few tuples per block), always on; the
+# timeline renderer (tools/probe_timeline.py) turns them into a per-engine
+# Gantt so scheduling stalls are attributable — the reference's analogue is
+# its RX-queue depth logging (compress.rs:81-85)
+last_stream_events: list = []
 # Routing table note (r4): two env-gated routes were REMOVED after losing
 # their re-shootout at the improved kernels (32 MB, warm caches, same
 # phase): the device-refine route (refinement argmin/rfreq + payload pack
@@ -161,11 +180,25 @@ def _compress_impl(
         if isinstance(data, (bytes, bytearray, memoryview))
         else np.asarray(data, dtype=np.uint8)
     )
-    out, blocks = rle1_blocks(arr, block_budget(level))
+    last_stream_events.clear()
+    _t0 = time.time()
+    budget = block_budget(level)
+    if arr.size > 4 * budget:
+        # big stream: scan in a background thread and dispatch blocks as
+        # they are confirmed (the reference's sequential-producer design,
+        # rle1.rs:250 + compress.rs:125) — the eager whole-input scan
+        # measured 140-350 ms of serial head on 32 MB trials
+        blocks = Rle1Feed(arr, budget)
+        out = blocks.out
+    else:
+        # small stream: the scan is ~ms and the exact block count drives
+        # tiny-stream engine routing
+        out, blocks = rle1_blocks(arr, budget)
+        last_stream_events.append(("rle1", 0, _t0, time.time()))
     enc = (
         _HostFallbackEncoder(level)
         if force_host
-        else _encoder_for(level, len(blocks))
+        else _encoder_for(level, _block_total(blocks))
     )
 
     header = BitAccum()
@@ -182,11 +215,17 @@ def _compress_impl(
     for crc, data_b, nbits in gen(enc, arr, out, blocks):
         s_crc = stream_crc_fold(s_crc, crc)
         chunks.append((data_b, nbits))
+    if isinstance(blocks, Rle1Feed) and hasattr(blocks, "scan_t1"):
+        last_stream_events.append(
+            ("rle1", 0, blocks.scan_t0, blocks.scan_t1)
+        )
     footer = BitAccum()
     footer.put(FOOTER_MAGIC, 48)
     footer.put(s_crc, 32)
     chunks.append(footer.pack())
+    _t0 = time.time()
     payload, _ = splice_byte_chunks(chunks)
+    last_stream_events.append(("splice", 0, _t0, time.time()))
     return payload
 
 
@@ -214,16 +253,19 @@ def _host_block_results(enc, arr, out, blocks):
     )
 
     def one(o0, o1, i0, i1):
+        t0 = time.time()
         crc = block_crc(arr[i0:i1])
         blk = enc.encode_block(out[o0:o1], crc)
         data, nbits = blk.pack()
+        last_stream_events.append(("cpu", i0, t0, time.time()))
         return crc, data, nbits
 
+    n_est = _block_total(blocks)
     last_stream_stats.clear()
     last_stream_stats.update(
-        engine="cpu", blocks=len(blocks), dev_blocks=0, cpu_blocks=len(blocks)
+        engine="cpu", blocks=n_est, dev_blocks=0, cpu_blocks=n_est
     )
-    if workers == 1 or len(blocks) <= 1:
+    if workers == 1 or n_est <= 1:
         for b in blocks:
             yield one(*b)
         return
@@ -368,6 +410,13 @@ def _device_block_results(enc, arr, out, blocks):
     #     force-fed device blocks in a slow relay phase);
     #   steal_ok: mirror guard for a throttled CPU worker.
     dev_inflight = [0]  # blocks dispatched to the device, not yet emitted
+    cpu_inflight = [0]  # blocks submitted to the CPU pool, not yet finished
+    # wall time of the last device completion this stream (seeded at stream
+    # start): while blocks are in flight, (now - dev_last_done) is a LIVE
+    # lower bound on the device's current cadence — the signal that a
+    # stale-fast profile cadence is lying about a dead relay phase before
+    # any completion arrives to retrain it
+    dev_last_done = [time.time()]
     dev_lock = threading.Lock()  # += / -= race between dispatch and emits
     dev_strikes = [0]  # non-tail head blocks lost to their CPU twin: ground
     # truth that a device dispatch HURT the stream; two strikes shut the
@@ -395,10 +444,25 @@ def _device_block_results(enc, arr, out, blocks):
             return crc, data, nbits
         finally:
             dt = time.time() - t0
+            last_stream_events.append(("cpu", i0, t0, t0 + dt))
             _cpu_ema_g[0] = (
                 dt if not _cpu_ema_g[0] else 0.5 * _cpu_ema_g[0] + 0.5 * dt
             )
+            with dev_lock:
+                cpu_inflight[0] -= 1
             cpu_slots.release()
+
+    def cpu_acquire(blocking=False, timeout=None):
+        """cpu_slots.acquire + inflight accounting (released in cpu_one)."""
+        ok = (
+            cpu_slots.acquire(timeout=timeout)
+            if blocking
+            else cpu_slots.acquire(blocking=False)
+        )
+        if ok:
+            with dev_lock:
+                cpu_inflight[0] += 1
+        return ok
 
     def _timed(fn, t_disp, *args):
         """Wrap a device-route emit: dev_inflight decrements even when the
@@ -417,7 +481,12 @@ def _device_block_results(enc, arr, out, blocks):
         finally:
             with dev_lock:
                 dev_inflight[0] -= 1
+            # args[1] is the block's raw-input offset in both emit wrappers;
+            # the span runs dispatch -> emit-done (the device block's full
+            # latency as the stream experiences it)
+            last_stream_events.append(("dev", args[1], t_disp, time.time()))
             if ok and _stream_epoch_g[0] == epoch:
+                dev_last_done[0] = time.time()
                 _dev_done_g.append(time.time())
                 dev_lat_samples.append(time.time() - t_disp)
 
@@ -587,7 +656,7 @@ def _device_block_results(enc, arr, out, blocks):
                 # same way — a transient fast device error must not kill a
                 # stream the straggler guard exists to protect
                 timed_out = isinstance(dev_exc, _FutTimeout)
-                if cpu_slots.acquire(blocking=False):
+                if cpu_acquire():
                     dup = cpu_pool.submit(cpu_one, *args)
                     if not timed_out:
                         # device already failed: the CPU twin is the block
@@ -636,30 +705,85 @@ def _device_block_results(enc, arr, out, blocks):
         return fut.result()
 
     try:
-        n_total = len(blocks)
+        idx = -1
         for idx, (o0, o1, i0, i1) in enumerate(blocks):
+            remaining = _block_total(blocks) - idx
             # The device runs CONCURRENTLY with the CPU workers and (on the
-            # bwt route) costs only ~1/3 of a CPU block's host time, so it
-            # gets first refusal whenever its measured cadence says the
-            # block finishes before the CPU pool would reach the queue tail
-            # — and none at all when the relay phase is slow enough that a
-            # device block would BECOME the stream's tail.
-            if not dev_is_host and device_ok(n_total - idx):
+            # bwt route) costs only ~1/3 of a CPU block's host time. It is
+            # eligible whenever its measured cadence says the block
+            # finishes before the CPU pool would reach the queue tail
+            # (device_ok) — and not at all when the relay phase is slow
+            # enough that a device block would BECOME the stream's tail.
+            # Among eligible engines the block goes to the one whose QUEUE
+            # finishes it sooner (greedy least-completion-time): the old
+            # device-first-refusal rule measured as mid-stream CPU-pool
+            # starvation in fast-device phases — device_ok compares the
+            # chip against the pool draining the ENTIRE remaining queue,
+            # so once the cadence trains fast every block routes to the
+            # chip and aggregate throughput collapses from device+CPU to
+            # device-only (timeline probe: CPU concurrency 9 -> 0-1 for
+            # ~half the stream while the device ran 4-8 deep).
+            dev_eligible = not dev_is_host and device_ok(remaining)
+            routed_cpu = False
+            # The device's FIRST block each stream always probes (a
+            # profile-rejected device that device_ok just granted its
+            # re-probe must actually receive a block, and each stream's
+            # opening block retrains a stale profile); greedy applies from
+            # the second device block on.
+            probe_needed = (
+                not dev_lat_samples
+                and len(_dev_done_g) == 0
+                and dev_inflight[0] == 0
+            )
+            if (
+                dev_eligible
+                and not probe_needed
+                and cpu_pool is not None
+                and _cpu_ema_g[0]
+            ):
+                cad = dev_cadence()
+                if cad is not None:
+                    # while blocks are in flight, the time since the last
+                    # completion is a live lower bound on current cadence:
+                    # it overrides a stale-fast estimate the moment a dead
+                    # relay phase stops producing completions (measured:
+                    # 14 blocks fed into a dead phase on a 0.047 profile
+                    # cadence while each took seconds)
+                    eff = (
+                        max(cad, time.time() - dev_last_done[0])
+                        if dev_inflight[0]
+                        else cad
+                    )
+                    t_dev = eff * (dev_inflight[0] + 1)
+                    # pool completion estimate for one more block: a free
+                    # slot starts it immediately (latency ~ cpu_ema at the
+                    # pool's standing contention); queue depth adds wait
+                    t_cpu = _cpu_ema_g[0] * (
+                        1 + cpu_inflight[0] / max(1, hybrid_n)
+                    )
+                    if (
+                        t_cpu < t_dev
+                        and steal_ok(remaining)
+                        and cpu_acquire()
+                    ):
+                        routed_cpu = True
+            if dev_eligible and not routed_cpu:
                 dispatch_device(o0, o1, i0, i1)
-            elif (
+            elif routed_cpu or (
                 cpu_pool is not None
-                and steal_ok(n_total - idx)
-                and cpu_slots.acquire(blocking=False)
+                and steal_ok(remaining)
+                and cpu_acquire()
             ):
                 n_cpu[0] += 1
                 inflight.append(
                     (cpu_pool.submit(cpu_one, o0, o1, i0, i1), "cpu", None)
                 )
                 log.debug("in-flight blocks (cpu steal): %d", len(inflight))
-            elif cpu_pool is not None and cpu_slots.acquire(
+            elif cpu_pool is not None and cpu_acquire(
+                blocking=True,
                 timeout=None
                 if dev_is_host or dev_strikes[0] >= 2 or _dev_hopeless()
-                else 0.5
+                else 0.5,
             ):
                 # all slots busy: waiting for a CPU slot beats force-feeding
                 # an engine the estimates just rejected (and with the device
@@ -727,7 +851,7 @@ def _device_block_results(enc, arr, out, blocks):
         last_stream_stats.update(
             engine="hybrid" if cpu_pool is not None else "device",
             stage=stage,
-            blocks=n_total,
+            blocks=idx + 1,
             dev_blocks=n_dev[0],
             cpu_blocks=n_cpu[0],
             cpu_block_s=round(_cpu_ema_g[0], 4),
