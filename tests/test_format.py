@@ -138,3 +138,25 @@ def test_put_words_and_put_bytes_pack(rng):
 
             vals, bits = acc.arrays()
             assert pack_bits(vals, bits) == a
+
+
+def test_incremental_splicer_matches_batch(rng):
+    """IncrementalSplicer (drain-time fold) must emit exactly what the
+    batch splice_byte_chunks emits, across chunk sizes that straddle its
+    buffer-doubling boundaries and pad-bit masking."""
+    from tpubz.hostref.bitio import IncrementalSplicer, splice_byte_chunks
+
+    for trial in range(30):
+        nchunks = int(rng.integers(1, 12))
+        chunks = []
+        for _ in range(nchunks):
+            nb = int(rng.integers(0, 3000))
+            data = rng.integers(0, 256, nb, dtype=np.uint8).tobytes()
+            nbits = int(rng.integers(0, 8 * nb + 1))
+            chunks.append((data, nbits))
+        inc = IncrementalSplicer(cap_hint=64)  # force growth
+        for d, n in chunks:
+            inc.add(d, n)
+        got, total = inc.finish()
+        want, wtotal = splice_byte_chunks(chunks)
+        assert total == wtotal and got == want, trial

@@ -236,6 +236,46 @@ def splice_bit_chunks(chunks: list[tuple[bytes, int]]) -> tuple[bytes, int]:
     return splice_byte_chunks(chunks)
 
 
+class IncrementalSplicer:
+    """splice_byte_chunks, one chunk at a time: the stream assembler folds
+    each block into the output buffer AS THE ORDERED DRAIN YIELDS IT (the
+    main thread is otherwise waiting on workers there), so the end-of-stream
+    serial splice pass — measured 25-120 ms on 32 MB streams — disappears
+    into the pipeline. Same three-pass shifted-OR per chunk; the buffer
+    doubles on demand since the total bit length is unknown until the last
+    block lands."""
+
+    def __init__(self, cap_hint: int = 1 << 16):
+        self._buf = np.zeros(max(cap_hint, 64), np.uint8)
+        self._off = 0  # bit offset
+
+    def add(self, payload: bytes, nbits: int) -> None:
+        if nbits == 0:
+            return
+        nb = (nbits + 7) // 8
+        need = ((self._off + nbits + 7) >> 3) + 1  # +1: lo-spill slack
+        if need > self._buf.size:
+            grown = np.zeros(max(need, 2 * self._buf.size), np.uint8)
+            grown[: (self._off + 7) >> 3] = self._buf[: (self._off + 7) >> 3]
+            self._buf = grown
+        arr = np.frombuffer(payload, np.uint8)[:nb]
+        rem = nbits & 7
+        if rem and (int(arr[nb - 1]) & (0xFF >> rem)):
+            arr = arr.copy()
+            arr[nb - 1] &= (0xFF << (8 - rem)) & 0xFF
+        base = self._off >> 3
+        s = self._off & 7
+        if s == 0:
+            self._buf[base : base + nb] |= arr
+        else:
+            self._buf[base : base + nb] |= arr >> s
+            self._buf[base + 1 : base + 1 + nb] |= arr << (8 - s)
+        self._off += nbits
+
+    def finish(self) -> tuple[bytes, int]:
+        return self._buf[: (self._off + 7) >> 3].tobytes(), self._off
+
+
 class BitReader:
     """MSB-first reader over an in-memory byte buffer."""
 

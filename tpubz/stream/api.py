@@ -29,7 +29,7 @@ log = logging.getLogger("tpubz")
 
 from ..format.constants import FOOTER_MAGIC, STREAM_MAGIC, block_budget
 from ..format.crc import block_crc, stream_crc_fold
-from ..hostref.bitio import BitAccum, splice_byte_chunks
+from ..hostref.bitio import BitAccum, IncrementalSplicer
 from ..hostref.rle1 import Rle1Feed, rle1_blocks
 
 
@@ -205,7 +205,11 @@ def _compress_impl(
     for b in STREAM_MAGIC:
         header.put(b, 8)
     header.put(0x30 + level, 8)
-    chunks = [header.pack()]
+    # fold blocks into the output as the ordered drain yields them — the
+    # main thread idles in the drain anyway, so the end-of-stream splice
+    # pass (25-120 ms serial on 32 MB) rides inside the pipeline
+    splicer = IncrementalSplicer(cap_hint=arr.size // 2 + 64)
+    splicer.add(*header.pack())
     s_crc = 0
     gen = (
         _host_block_results
@@ -214,7 +218,7 @@ def _compress_impl(
     )
     for crc, data_b, nbits in gen(enc, arr, out, blocks):
         s_crc = stream_crc_fold(s_crc, crc)
-        chunks.append((data_b, nbits))
+        splicer.add(data_b, nbits)
     if isinstance(blocks, Rle1Feed) and hasattr(blocks, "scan_t1"):
         last_stream_events.append(
             ("rle1", 0, blocks.scan_t0, blocks.scan_t1)
@@ -222,9 +226,9 @@ def _compress_impl(
     footer = BitAccum()
     footer.put(FOOTER_MAGIC, 48)
     footer.put(s_crc, 32)
-    chunks.append(footer.pack())
     _t0 = time.time()
-    payload, _ = splice_byte_chunks(chunks)
+    splicer.add(*footer.pack())
+    payload, _ = splicer.finish()
     last_stream_events.append(("splice", 0, _t0, time.time()))
     return payload
 
@@ -425,6 +429,16 @@ def _device_block_results(enc, arr, out, blocks):
     epoch = _stream_epoch_g[0]
     _dev_done_g.clear()  # per-stream gap state; cross-stream memory is the
     # rig profile (trained at stream end), not stale completion timestamps
+    if _block_total(blocks) >= 8:
+        # long streams refresh the re-probe budget: phases swing on minute
+        # scales, so a device struck off in one dead phase must get one
+        # block per stream to argue its way back in. The cost of a wasted
+        # probe is bounded (the straggler guard duplicates it onto a CPU
+        # worker after a capped grace while the 16-deep window keeps the
+        # pool busy); the upside — the chip's additive MB/s in every
+        # recovered phase — is not. Short streams keep the stricter
+        # once-per-process budget: a probe there can BE the stream tail.
+        _reprobe_left_g[0] = max(_reprobe_left_g[0], 1)
     eff_cores = min(hybrid_n or 1, os.cpu_count() or 4)
     leg_samples: list[float] = []  # host-side cost per device block (trains
     # the rig profile's host_leg_s for the chosen stage)
@@ -633,75 +647,84 @@ def _device_block_results(enc, arr, out, blocks):
         fut, kind, args = inflight.popleft()
         if kind == "dev" and cpu_pool is not None:
             args, t_disp = args
+            # grace window GRANTED to the device before a twin loss counts
+            # as a strike (ground truth of a harmful dispatch). The twin
+            # itself starts the moment the pool has an idle slot — idle
+            # capacity costs nothing and first-engine-wins on identical
+            # bytes. Measured failure shapes this replaces: a per-stream
+            # probe block into a dead relay phase held the drain head for
+            # its full 1.0 s grace while the 16-deep window capped
+            # dispatch, idling the whole rig ~900 ms per stream; and a
+            # one-shot slot check at head-pop missed the slots that free
+            # as the pool drains DURING the wait.
             if tail:
-                # stream tail: the CPU workers are idling, so a duplicate
-                # costs otherwise-unused cycles — don't grant the device
-                # any grace (a dead relay phase otherwise taxes EVERY
-                # stream a flat wait on its probe block)
                 grace = 0.02
             else:
                 cad = dev_cadence()
                 grace = max(2 * cad, 0.25) if cad is not None else 0.5
-                # the grace must never exceed the cost scale of the CPU
-                # alternative it's deferring: a strike-inflated cadence
-                # (e.g. 12.5 s after one awful phase) would otherwise grant
-                # a 25 s grace — measured as 24 MB hybrid trials stalling at
-                # 10-12 s on ONE overflow-dispatched device block while
-                # CPU-only ran 0.7 s
+                # cap at the cost scale of the CPU alternative: a
+                # strike-inflated cadence (e.g. 12.5 s after one awful
+                # phase) would otherwise grant a 25 s grace — measured as
+                # 24 MB hybrid trials stalling 10-12 s on ONE device block
                 grace = min(grace, max(1.0, 3 * (_cpu_ema_g[0] or 0.4)))
-            try:
-                return fut.result(timeout=grace)
-            except Exception as dev_exc:
-                # overdue OR errored within the grace window: both heal the
-                # same way — a transient fast device error must not kill a
-                # stream the straggler guard exists to protect
-                timed_out = isinstance(dev_exc, _FutTimeout)
-                if cpu_acquire():
-                    dup = cpu_pool.submit(cpu_one, *args)
-                    if not timed_out:
-                        # device already failed: the CPU twin is the block
-                        return dup.result()
-                    done, _ = _fut_wait(
-                        (fut, dup), return_when=FIRST_COMPLETED
-                    )
-                    pick = fut if (fut in done and not fut.exception()) else (
-                        dup if dup in done else fut
-                    )
-                    if pick is dup and not fut.done():
-                        # the twin beat a still-running device block: the
-                        # elapsed-so-far is only a LOWER bound on the device
-                        # latency (the abandoned future usually resolves
-                        # after the stream has trained the profile). Tail
-                        # races carry a 0.02s grace, so a healthy device
-                        # loses them routinely — record plain elapsed there;
-                        # a NON-tail loss means the device outlasted a real
-                        # 2x-cadence grace: strike it and record a 4x
-                        # pessimism penalty, so a device that loses its
-                        # duplication race argues its way back in through
-                        # the per-process re-probe, not flattering estimates
-                        if tail:
-                            dev_lat_samples.append(time.time() - t_disp)
-                        else:
-                            dev_strikes[0] += 1
-                            dev_lat_samples.append(4 * (time.time() - t_disp))
+
+            def race():
+                """Twin the head block; first engine to finish wins. A
+                twin loss within the grace window is a fair race a healthy
+                device loses routinely (the twin starts as soon as
+                capacity exists) — record plain elapsed; outlasting the
+                grace is the ground truth of a harmful dispatch: strike +
+                4x pessimism penalty, so a losing device argues its way
+                back in through the re-probe, not flattering estimates.
+                (The elapsed-so-far is only a LOWER bound on the device
+                latency — the abandoned future usually resolves after the
+                stream has trained.)"""
+                dup = cpu_pool.submit(cpu_one, *args)
+                done, _ = _fut_wait((fut, dup), return_when=FIRST_COMPLETED)
+                pick = fut if (fut in done and not fut.exception()) else (
+                    dup if dup in done else fut
+                )
+                if pick is dup and not fut.done():
+                    elapsed = time.time() - t_disp
+                    if not tail and elapsed >= grace:
+                        dev_strikes[0] += 1
+                        dev_lat_samples.append(4 * elapsed)
+                    else:
+                        dev_lat_samples.append(elapsed)
+                try:
+                    return pick.result()
+                except Exception as pick_exc:
+                    # the winner errored — fall back to the twin, but
+                    # BOUNDED: the twin may be the wedged device future
+                    # that never completes; surface the concrete error
+                    # instead of reverting to the hang this guard prevents
+                    twin = dup if pick is fut else fut
+                    bound = max(3 * (_cpu_ema_g[0] or 1.0), 5.0)
                     try:
-                        return pick.result()
-                    except Exception as pick_exc:
-                        # the winner errored — fall back to the twin, but
-                        # BOUNDED: the twin may be the wedged device future
-                        # that never completes; surface the concrete error
-                        # instead of reverting to the hang this guard
-                        # prevents
-                        twin = dup if pick is fut else fut
-                        bound = max(3 * (_cpu_ema_g[0] or 1.0), 5.0)
-                        try:
-                            return twin.result(timeout=bound)
-                        except _FutTimeout:
-                            raise pick_exc from None
-                elif timed_out:
-                    return fut.result()  # no free CPU slot: wait it out
-                else:
-                    raise
+                        return twin.result(timeout=bound)
+                    except _FutTimeout:
+                        raise pick_exc from None
+
+            # incremental wait: return the instant the device finishes,
+            # twin the instant a CPU slot frees (the pool draining toward
+            # idle IS the signal that waiting longer wastes the rig)
+            dev_errored = False
+            while not fut.done():
+                if cpu_acquire():
+                    return race()
+                try:
+                    return fut.result(timeout=0.02)
+                except _FutTimeout:
+                    continue
+                except Exception:
+                    dev_errored = True
+                    break
+            if dev_errored or fut.exception() is not None:
+                # device errored: a CPU twin IS the block (transient fast
+                # errors must not kill a stream the guard protects)
+                if cpu_acquire(blocking=True, timeout=30.0):
+                    return cpu_pool.submit(cpu_one, *args).result()
+                raise fut.exception()
         return fut.result()
 
     try:
