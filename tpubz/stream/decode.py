@@ -103,43 +103,61 @@ def _decompress_one(data: bytes) -> tuple[bytes, int]:
     arr = np.frombuffer(data, dtype=np.uint8)
     use_native = get_lib() is not None
     futures: dict[int, object] = {}
-    ex = None
+    ex_box: list = [None]
+    walk_pos = [32]  # shared with the scanner: skip already-walked blocks
     if use_native:
+        # The magic scan + pre-decode submission run on a SIDE thread while
+        # the stitch walk below starts decoding immediately: the serial
+        # scan head measured 45-190 ms on 18 MB compressed (10-30% of the
+        # whole decode in throttled phases), and the walk's first 1-2
+        # serial block decodes now ride inside it. Candidates the walk has
+        # already passed are not submitted (their pre-decode would be
+        # pure waste); dict reads/writes are GIL-atomic.
+        #
         # Bound the candidate scan at this stream's footer: blocks beyond
         # the first footer-magic hit belong to subsequent concatenated
         # streams (or are payload false positives) — pre-decoding them with
         # this stream's level wastes threads and made concatenations
         # O(streams x size). A false-positive footer hit only prunes
         # pre-decodes; the serial walk below still decodes those blocks.
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
         from ..native import find_magic2_native
 
-        both = find_magic2_native(arr, BLOCK_MAGIC, FOOTER_MAGIC)
-        if both is not None:
-            blocks_hits, footers = both
-        else:
-            blocks_hits = find_magic_bit_offsets(data)
-            footers = find_magic_bit_offsets(data, FOOTER_MAGIC)
-        candidates = [int(c) for c in blocks_hits if c >= 32]
-        if footers.size:
-            cutoff = int(footers[0])
-            candidates = [c for c in candidates if c < cutoff]
-        if len(candidates) > 1:
-            from concurrent.futures import ThreadPoolExecutor
+        def try_decode(c):
+            try:
+                return decode_block_native(arr, c + 48, level)
+            except ValueError:
+                return None
 
-            def try_decode(c):
-                try:
-                    return decode_block_native(arr, c + 48, level)
-                except ValueError:
-                    return None
+        def scan_and_submit():
+            both = find_magic2_native(arr, BLOCK_MAGIC, FOOTER_MAGIC)
+            if both is not None:
+                blocks_hits, footers = both
+            else:
+                blocks_hits = find_magic_bit_offsets(data)
+                footers = find_magic_bit_offsets(data, FOOTER_MAGIC)
+            candidates = [int(c) for c in blocks_hits if c >= 32]
+            if footers.size:
+                cutoff = int(footers[0])
+                candidates = [c for c in candidates if c < cutoff]
+            pending = [c for c in candidates if c >= walk_pos[0]]
+            if len(pending) > 1:
+                ex_box[0] = ThreadPoolExecutor(min(32, len(pending)))
+                for c in pending:
+                    if c >= walk_pos[0]:
+                        futures[c] = ex_box[0].submit(try_decode, c)
 
-            ex = ThreadPoolExecutor(min(32, len(candidates)))
-            futures = {c: ex.submit(try_decode, c) for c in candidates}
+        scan_thread = threading.Thread(target=scan_and_submit, daemon=True)
+        scan_thread.start()
 
     try:
         s_crc = 0
         parts: list[np.ndarray] = []
         pos = 32  # bit position of the next expected block/footer magic
         while True:
+            walk_pos[0] = pos
             first48 = BitReader(data)
             first48.pos = pos
             tag = first48.read(48)
@@ -153,7 +171,8 @@ def _decompress_one(data: bytes) -> tuple[bytes, int]:
                 break
             if tag != BLOCK_MAGIC:
                 raise ValueError("invalid block header magic")
-            res = futures[pos].result() if pos in futures else None
+            fut = futures.get(pos)
+            res = fut.result() if fut is not None else None
             if res is not None:
                 raw, end_bit, blk_crc, actual = res
             elif use_native:
@@ -172,18 +191,23 @@ def _decompress_one(data: bytes) -> tuple[bytes, int]:
             parts.append(raw)
             pos = end_bit
     finally:
-        if ex is not None:
+        if use_native:
+            walk_pos[0] = 1 << 62  # stop the scanner submitting anything new
+            scan_thread.join()
+        if ex_box[0] is not None:
             # stop dispatching wasted pre-decodes once the walk is done
             for f in futures.values():
                 f.cancel()
-            ex.shutdown(wait=False)
+            ex_box[0].shutdown(wait=False)
     last_decode_stats.clear()
     last_decode_stats.update(
         engine="native" if use_native else "python",
         blocks=len(parts),
         parallel_candidates=len(futures),
     )
-    return b"".join(p.tobytes() for p in parts), (pos + 7) // 8
+    # join over memoryviews: one output copy instead of two (per-part
+    # tobytes + join measured 2.3x the memoryview join at 32 MB)
+    return b"".join(memoryview(p) for p in parts), (pos + 7) // 8
 
 
 def split_blocks_for_parallel_decode(data: bytes) -> list[tuple[int, int]]:
