@@ -75,6 +75,21 @@ def test_rle1_feed_matches_eager_scan(rng):
             assert feed.total_estimate() == len(blocks_e)
 
 
+def test_rle1_feed_surfaces_scan_errors():
+    """A failure inside the background scan thread must raise in the
+    consumer's iteration, not hang it or vanish."""
+    from tpubz.hostref.rle1 import Rle1Feed
+
+    feed = Rle1Feed(np.zeros(10, np.uint8), budget=100)
+    list(feed)  # drain the real scan first
+    feed._done = False
+    feed._error = RuntimeError("boom")
+    feed._blocks = []
+    feed._done = True
+    with pytest.raises(RuntimeError, match="boom"):
+        list(feed)
+
+
 def test_rle1_block_split_preserves_data(rng):
     d = bytes(rng.integers(0, 4, 30000, dtype=np.uint8))
     arr = np.frombuffer(d, np.uint8)
