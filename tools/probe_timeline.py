@@ -68,6 +68,8 @@ def main():
         t0 = time.time()
         z = tpubz.compress(corpus, 9)
         t1 = time.time()
+        # keep the interpreter honest about EVERY trial's output validity
+        assert tpubz.decompress(z) == corpus
         mbs = len(corpus) / 1e6 / (t1 - t0)
         st = api.last_stream_stats
         print(
@@ -77,8 +79,6 @@ def main():
             f"cadence {st.get('dev_cadence_s')}s)"
         )
         render(list(api.last_stream_events), t0, t1)
-    # keep the interpreter honest about output validity
-    assert tpubz.decompress(z) == corpus
 
 
 if __name__ == "__main__":

@@ -207,28 +207,10 @@ def splice_byte_chunks(chunks: list[tuple[bytes, int]]) -> tuple[bytes, int]:
     independently packed blocks (reference src/bitstream/bitwriter.rs:94-100
     does the same by backing its queue up by the padding bit count)."""
     total = sum(n for _, n in chunks)
-    out = np.zeros((total + 7) // 8 + 1, np.uint8)  # +1: lo-spill slack
-    off = 0
+    inc = IncrementalSplicer(cap_hint=(total + 7) // 8 + 1)
     for payload, nbits in chunks:
-        if nbits == 0:
-            continue
-        nb = (nbits + 7) // 8
-        arr = np.frombuffer(payload, np.uint8)[:nb]
-        rem = nbits & 7
-        if rem and (int(arr[nb - 1]) & (0xFF >> rem)):
-            # defensive: mask non-zero pad bits so they can't OR into the
-            # next chunk (zero-padded inputs — the common case — skip this)
-            arr = arr.copy()
-            arr[nb - 1] &= (0xFF << (8 - rem)) & 0xFF
-        base = off >> 3
-        s = off & 7
-        if s == 0:
-            out[base : base + nb] |= arr
-        else:
-            out[base : base + nb] |= arr >> s
-            out[base + 1 : base + 1 + nb] |= arr << (8 - s)  # uint8 truncates
-        off += nbits
-    return out[: (total + 7) // 8].tobytes(), total
+        inc.add(payload, nbits)
+    return inc.finish()
 
 
 def splice_bit_chunks(chunks: list[tuple[bytes, int]]) -> tuple[bytes, int]:

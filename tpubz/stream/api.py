@@ -269,21 +269,28 @@ def _host_block_results(enc, arr, out, blocks):
     last_stream_stats.update(
         engine="cpu", blocks=n_est, dev_blocks=0, cpu_blocks=n_est
     )
+    n_done = 0
     if workers == 1 or n_est <= 1:
         for b in blocks:
+            n_done += 1
             yield one(*b)
-        return
-    pool = ThreadPoolExecutor(workers)
-    inflight: deque = deque()
-    try:
-        for b in blocks:
-            inflight.append(pool.submit(one, *b))
-            if len(inflight) >= 2 * workers:
+    else:
+        pool = ThreadPoolExecutor(workers)
+        inflight: deque = deque()
+        try:
+            for b in blocks:
+                inflight.append(pool.submit(one, *b))
+                if len(inflight) >= 2 * workers:
+                    n_done += 1
+                    yield inflight.popleft().result()
+            while inflight:
+                n_done += 1
                 yield inflight.popleft().result()
-        while inflight:
-            yield inflight.popleft().result()
-    finally:
-        pool.shutdown(wait=False)
+        finally:
+            pool.shutdown(wait=False)
+    # correct the pre-scan estimate to the actual count (a streaming feed
+    # on heavy-RLE input overestimates until its scan completes)
+    last_stream_stats.update(blocks=n_done, cpu_blocks=n_done)
 
 
 def _device_block_results(enc, arr, out, blocks):
@@ -415,12 +422,17 @@ def _device_block_results(enc, arr, out, blocks):
     #   steal_ok: mirror guard for a throttled CPU worker.
     dev_inflight = [0]  # blocks dispatched to the device, not yet emitted
     cpu_inflight = [0]  # blocks submitted to the CPU pool, not yet finished
-    # wall time of the last device completion this stream (seeded at stream
-    # start): while blocks are in flight, (now - dev_last_done) is a LIVE
-    # lower bound on the device's current cadence — the signal that a
-    # stale-fast profile cadence is lying about a dead relay phase before
-    # any completion arrives to retrain it
-    dev_last_done = [time.time()]
+    # dispatch wall times of the blocks currently in device flight: the
+    # oldest entry's age, divided by the flight depth, is a LIVE lower
+    # bound on the device's current cadence (a healthy q-deep pipeline
+    # holds oldest_age ~ q*cadence; a dead relay phase grows it without
+    # bound) — the signal that a stale-fast profile cadence is lying
+    # before any completion arrives to retrain it. Keyed per-dispatch so a
+    # device idle gap cannot fake staleness (an earlier last-completion-
+    # timestamp formulation starved a healthy device right after every
+    # gap).
+    dev_flight_t: dict[int, float] = {}
+    dev_flight_seq = [0]
     dev_lock = threading.Lock()  # += / -= race between dispatch and emits
     dev_strikes = [0]  # non-tail head blocks lost to their CPU twin: ground
     # truth that a device dispatch HURT the stream; two strikes shut the
@@ -458,7 +470,11 @@ def _device_block_results(enc, arr, out, blocks):
             return crc, data, nbits
         finally:
             dt = time.time() - t0
-            last_stream_events.append(("cpu", i0, t0, t0 + dt))
+            if _stream_epoch_g[0] == epoch:
+                # epoch-guarded like the device spans: an abandoned twin
+                # resolving during the next stream must not pollute its
+                # timeline
+                last_stream_events.append(("cpu", i0, t0, t0 + dt))
             _cpu_ema_g[0] = (
                 dt if not _cpu_ema_g[0] else 0.5 * _cpu_ema_g[0] + 0.5 * dt
             )
@@ -478,7 +494,7 @@ def _device_block_results(enc, arr, out, blocks):
                 cpu_inflight[0] += 1
         return ok
 
-    def _timed(fn, t_disp, *args):
+    def _timed(fn, t_disp, seq, *args):
         """Wrap a device-route emit: dev_inflight decrements even when the
         block errors (a healed error must not permanently suppress device
         dispatch), while cadence samples record only successes (an instant
@@ -495,20 +511,25 @@ def _device_block_results(enc, arr, out, blocks):
         finally:
             with dev_lock:
                 dev_inflight[0] -= 1
-            # args[1] is the block's raw-input offset in both emit wrappers;
-            # the span runs dispatch -> emit-done (the device block's full
-            # latency as the stream experiences it)
-            last_stream_events.append(("dev", args[1], t_disp, time.time()))
+                dev_flight_t.pop(seq, None)
+            if _stream_epoch_g[0] == epoch:
+                # args[1] is the block's raw-input offset in both emit
+                # wrappers; the span runs dispatch -> emit-done (the device
+                # block's full latency as the stream experiences it).
+                # Epoch-guarded: an abandoned straggler resolving during
+                # the NEXT stream must not pollute its timeline
+                last_stream_events.append(
+                    ("dev", args[1], t_disp, time.time())
+                )
             if ok and _stream_epoch_g[0] == epoch:
-                dev_last_done[0] = time.time()
                 _dev_done_g.append(time.time())
                 dev_lat_samples.append(time.time() - t_disp)
 
-    def emit_timed(fetch_fut, t_disp, i0, i1):
-        return _timed(emit, t_disp, fetch_fut, i0, i1)
+    def emit_timed(fetch_fut, t_disp, seq, i0, i1):
+        return _timed(emit, t_disp, seq, fetch_fut, i0, i1)
 
-    def emit_bwt_timed(fetch_fut, t_disp, i0, i1):
-        return _timed(emit_bwt, t_disp, fetch_fut, i0, i1)
+    def emit_bwt_timed(fetch_fut, t_disp, seq, i0, i1):
+        return _timed(emit_bwt, t_disp, seq, fetch_fut, i0, i1)
 
     def dev_cadence():
         """Median gap between recent device completions. Gaps up to 5s are
@@ -599,9 +620,12 @@ def _device_block_results(enc, arr, out, blocks):
 
     def dispatch_device(o0, o1, i0, i1):
         n_dev[0] += 1
+        t_disp = time.time()
         with dev_lock:
             dev_inflight[0] += 1
-        t_disp = time.time()
+            dev_flight_seq[0] += 1
+            seq = dev_flight_seq[0]
+            dev_flight_t[seq] = t_disp
         blk = out[o0:o1]
         if stage == "bwt":
             # bwt-only route: the chip runs just the suffix sort (the
@@ -619,7 +643,9 @@ def _device_block_results(enc, arr, out, blocks):
             fetch_fut = fetch_pool.submit(
                 lambda: _materialize_bwt(launch_fut.result())
             )
-            f = emit_pool.submit(emit_bwt_timed, fetch_fut, t_disp, i0, i1)
+            f = emit_pool.submit(
+                emit_bwt_timed, fetch_fut, t_disp, seq, i0, i1
+            )
         else:
             # full-chain route, host refine (never reads freqs/hist on
             # device: lean graph). Runs via the pools so a cold compile
@@ -630,7 +656,7 @@ def _device_block_results(enc, arr, out, blocks):
             fetch_fut = fetch_pool.submit(
                 lambda: materialize(enc.transform(blk, lean=True))
             )
-            f = emit_pool.submit(emit_timed, fetch_fut, t_disp, i0, i1)
+            f = emit_pool.submit(emit_timed, fetch_fut, t_disp, seq, i0, i1)
         inflight.append((f, "dev", ((o0, o1, i0, i1), t_disp)))
         # queue-depth observability, mirroring the reference's RX queue
         # logging (compress.rs:81-85)
@@ -766,18 +792,22 @@ def _device_block_results(enc, arr, out, blocks):
             ):
                 cad = dev_cadence()
                 if cad is not None:
-                    # while blocks are in flight, the time since the last
-                    # completion is a live lower bound on current cadence:
-                    # it overrides a stale-fast estimate the moment a dead
-                    # relay phase stops producing completions (measured:
-                    # 14 blocks fed into a dead phase on a 0.047 profile
-                    # cadence while each took seconds)
-                    eff = (
-                        max(cad, time.time() - dev_last_done[0])
-                        if dev_inflight[0]
-                        else cad
-                    )
-                    t_dev = eff * (dev_inflight[0] + 1)
+                    # while blocks are in flight, the oldest in-flight
+                    # block's age over the flight depth is a live lower
+                    # bound on current cadence (a healthy q-deep pipeline
+                    # holds oldest_age ~ q*cad): it overrides a stale-fast
+                    # estimate the moment a dead relay phase stops
+                    # producing completions (measured: 14 blocks fed into
+                    # a dead phase on a 0.047 profile cadence while each
+                    # took seconds), and a fresh dispatch after an idle
+                    # gap reads young — no false staleness
+                    with dev_lock:
+                        oldest = min(dev_flight_t.values(), default=None)
+                        q = dev_inflight[0]
+                    eff = cad
+                    if q and oldest is not None:
+                        eff = max(cad, (time.time() - oldest) / q)
+                    t_dev = eff * (q + 1)
                     # pool completion estimate for one more block: a free
                     # slot starts it immediately (latency ~ cpu_ema at the
                     # pool's standing contention); queue depth adds wait

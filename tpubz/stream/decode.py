@@ -131,23 +131,32 @@ def _decompress_one(data: bytes) -> tuple[bytes, int]:
             except ValueError:
                 return None
 
+        scan_err: list = [None]
+
         def scan_and_submit():
-            both = find_magic2_native(arr, BLOCK_MAGIC, FOOTER_MAGIC)
-            if both is not None:
-                blocks_hits, footers = both
-            else:
-                blocks_hits = find_magic_bit_offsets(data)
-                footers = find_magic_bit_offsets(data, FOOTER_MAGIC)
-            candidates = [int(c) for c in blocks_hits if c >= 32]
-            if footers.size:
-                cutoff = int(footers[0])
-                candidates = [c for c in candidates if c < cutoff]
-            pending = [c for c in candidates if c >= walk_pos[0]]
-            if len(pending) > 1:
-                ex_box[0] = ThreadPoolExecutor(min(32, len(pending)))
-                for c in pending:
-                    if c >= walk_pos[0]:
-                        futures[c] = ex_box[0].submit(try_decode, c)
+            try:
+                both = find_magic2_native(arr, BLOCK_MAGIC, FOOTER_MAGIC)
+                if both is not None:
+                    blocks_hits, footers = both
+                else:
+                    blocks_hits = find_magic_bit_offsets(data)
+                    footers = find_magic_bit_offsets(data, FOOTER_MAGIC)
+                candidates = [int(c) for c in blocks_hits if c >= 32]
+                if footers.size:
+                    cutoff = int(footers[0])
+                    candidates = [c for c in candidates if c < cutoff]
+                pending = [c for c in candidates if c >= walk_pos[0]]
+                if len(pending) > 1:
+                    ex_box[0] = ThreadPoolExecutor(min(32, len(pending)))
+                    for c in pending:
+                        if c >= walk_pos[0]:
+                            futures[c] = ex_box[0].submit(try_decode, c)
+            except BaseException as e:
+                # surfaced by the walk loop: before this moved off the main
+                # thread a scan failure propagated to the caller — it still
+                # must (a dead thread would otherwise silently degrade the
+                # decode to serial and mask a real bug)
+                scan_err[0] = e
 
         scan_thread = threading.Thread(target=scan_and_submit, daemon=True)
         scan_thread.start()
@@ -157,6 +166,8 @@ def _decompress_one(data: bytes) -> tuple[bytes, int]:
         parts: list[np.ndarray] = []
         pos = 32  # bit position of the next expected block/footer magic
         while True:
+            if use_native and scan_err[0] is not None:
+                raise scan_err[0]
             walk_pos[0] = pos
             first48 = BitReader(data)
             first48.pos = pos
@@ -199,6 +210,10 @@ def _decompress_one(data: bytes) -> tuple[bytes, int]:
             for f in futures.values():
                 f.cancel()
             ex_box[0].shutdown(wait=False)
+    if use_native and scan_err[0] is not None:
+        # a scan failure that landed after the walk's last check still
+        # surfaces (pre-thread behavior: it propagated to the caller)
+        raise scan_err[0]
     last_decode_stats.clear()
     last_decode_stats.update(
         engine="native" if use_native else "python",
