@@ -305,3 +305,23 @@ def test_device_fast_error_healed_by_cpu_twin(rng, monkeypatch):
     out = api.compress(d, 1)
     assert decompress(out) == d
     assert out == host_compress(d, 1)
+
+
+def test_concurrent_compress_calls_thread_safe(rng):
+    """Library users may call compress() from several threads at once; the
+    scheduler's process-global estimate state (EMAs, profile, epochs) must
+    tolerate that — outputs stay valid streams that round-trip. (Per-stream
+    stats/events can interleave — only correctness is asserted here.)"""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from tpubz.stream.api import compress as dev_compress
+
+    inputs = [
+        (b"alpha beta gamma " * 20000
+         + bytes(rng.integers(0, 256, 150_000, dtype=np.uint8)))
+        for _ in range(4)
+    ]
+    with ThreadPoolExecutor(4) as ex:
+        outs = list(ex.map(lambda d: dev_compress(d, 5), inputs))
+    for d, z in zip(inputs, outs):
+        assert decompress(z) == d
