@@ -33,15 +33,31 @@ from ..hostref.bitio import BitAccum, IncrementalSplicer
 from ..hostref.rle1 import Rle1Feed, rle1_blocks
 
 
-def _block_total(blocks) -> int:
-    """Block count: exact for a materialized list, the scan-progress
-    estimate for a streaming Rle1Feed (exact once its scan finishes —
-    within the first ~100 ms of a stream at the scanner's >1 GB/s)."""
-    return (
-        blocks.total_estimate()
-        if isinstance(blocks, Rle1Feed)
-        else len(blocks)
-    )
+def _items_total(items) -> int:
+    """Block count of an item stream: exact for a materialized list, the
+    producer's scan-progress estimate for a streaming source (exact once
+    its scan finishes — within the first ~100 ms of a stream at the
+    scanner's >1 GB/s)."""
+    est = getattr(items, "total_estimate", None)
+    return est() if est is not None else len(items)
+
+
+class _FeedItems:
+    """(blk_view, raw_view) item stream over an Rle1Feed for the
+    block-results generators: each item pairs the block's RLE1 bytes with
+    its raw input range (for the pre-RLE1 CRC). Views keep the backing
+    buffers alive only while blocks are in flight."""
+
+    def __init__(self, feed: Rle1Feed, arr: np.ndarray):
+        self.feed = feed
+        self._arr = arr
+
+    def __iter__(self):
+        for o0, o1, i0, i1 in self.feed:
+            yield self.feed.out[o0:o1], self._arr[i0:i1]
+
+    def total_estimate(self) -> int:
+        return self.feed.total_estimate()
 
 WINDOW = int(os.environ.get("TPUBZ_WINDOW", "16"))
 # engine-speed estimates shared across compress() calls (a warm-up stream
@@ -183,22 +199,26 @@ def _compress_impl(
     last_stream_events.clear()
     _t0 = time.time()
     budget = block_budget(level)
+    feed = None
     if arr.size > 4 * budget:
         # big stream: scan in a background thread and dispatch blocks as
         # they are confirmed (the reference's sequential-producer design,
         # rle1.rs:250 + compress.rs:125) — the eager whole-input scan
         # measured 140-350 ms of serial head on 32 MB trials
-        blocks = Rle1Feed(arr, budget)
-        out = blocks.out
+        feed = Rle1Feed(arr, budget)
+        items = _FeedItems(feed, arr)
     else:
         # small stream: the scan is ~ms and the exact block count drives
         # tiny-stream engine routing
         out, blocks = rle1_blocks(arr, budget)
+        items = [
+            (out[o0:o1], arr[i0:i1]) for o0, o1, i0, i1 in blocks
+        ]
         last_stream_events.append(("rle1", 0, _t0, time.time()))
     enc = (
         _HostFallbackEncoder(level)
         if force_host
-        else _encoder_for(level, _block_total(blocks))
+        else _encoder_for(level, _items_total(items))
     )
 
     header = BitAccum()
@@ -216,13 +236,11 @@ def _compress_impl(
         if isinstance(enc, _HostFallbackEncoder)
         else _device_block_results
     )
-    for crc, data_b, nbits in gen(enc, arr, out, blocks):
+    for crc, data_b, nbits in gen(enc, items):
         s_crc = stream_crc_fold(s_crc, crc)
         splicer.add(data_b, nbits)
-    if isinstance(blocks, Rle1Feed) and hasattr(blocks, "scan_t1"):
-        last_stream_events.append(
-            ("rle1", 0, blocks.scan_t0, blocks.scan_t1)
-        )
+    if feed is not None and hasattr(feed, "scan_t1"):
+        last_stream_events.append(("rle1", 0, feed.scan_t0, feed.scan_t1))
     footer = BitAccum()
     footer.put(FOOTER_MAGIC, 48)
     footer.put(s_crc, 32)
@@ -233,12 +251,14 @@ def _compress_impl(
     return payload
 
 
-def _host_block_results(enc, arr, out, blocks):
+def _host_block_results(enc, items):
     """CPU-engine pipeline: per-block transform + refinement + emission on a
     thread pool (the heavy stages are GIL-free native calls — the rayon-pool
     analogue of reference compress.rs:125-132), with an ordered sliding
-    window bounding in-flight memory. Yields (crc, packed_bytes, nbits) in
-    block order (each block packs in its worker thread)."""
+    window bounding in-flight memory. ``items`` yields (blk_view, raw_view)
+    pairs (RLE1 block bytes + raw range for the pre-RLE1 CRC). Yields
+    (crc, packed_bytes, nbits) in block order (each block packs in its
+    worker thread)."""
     from concurrent.futures import ThreadPoolExecutor
 
     # default 3x the core count: the native transform is cache/memory-bound,
@@ -256,30 +276,30 @@ def _host_block_results(enc, arr, out, blocks):
         ),
     )
 
-    def one(o0, o1, i0, i1):
+    def one(idx, blk, raw):
         t0 = time.time()
-        crc = block_crc(arr[i0:i1])
-        blk = enc.encode_block(out[o0:o1], crc)
-        data, nbits = blk.pack()
-        last_stream_events.append(("cpu", i0, t0, time.time()))
+        crc = block_crc(raw)
+        b = enc.encode_block(blk, crc)
+        data, nbits = b.pack()
+        last_stream_events.append(("cpu", idx, t0, time.time()))
         return crc, data, nbits
 
-    n_est = _block_total(blocks)
+    n_est = _items_total(items)
     last_stream_stats.clear()
     last_stream_stats.update(
         engine="cpu", blocks=n_est, dev_blocks=0, cpu_blocks=n_est
     )
     n_done = 0
     if workers == 1 or n_est <= 1:
-        for b in blocks:
+        for idx, (blk, raw) in enumerate(items):
             n_done += 1
-            yield one(*b)
+            yield one(idx, blk, raw)
     else:
         pool = ThreadPoolExecutor(workers)
         inflight: deque = deque()
         try:
-            for b in blocks:
-                inflight.append(pool.submit(one, *b))
+            for idx, (blk, raw) in enumerate(items):
+                inflight.append(pool.submit(one, idx, blk, raw))
                 if len(inflight) >= 2 * workers:
                     n_done += 1
                     yield inflight.popleft().result()
@@ -293,9 +313,12 @@ def _host_block_results(enc, arr, out, blocks):
     last_stream_stats.update(blocks=n_done, cpu_blocks=n_done)
 
 
-def _device_block_results(enc, arr, out, blocks):
+def _device_block_results(enc, items):
     """Run blocks through the device pipeline; yield (crc, packed_bytes, nbits) in
-    block order while later blocks are still in flight.
+    block order while later blocks are still in flight. ``items`` yields
+    (blk_view, raw_view) pairs (RLE1 block bytes + raw input range for the
+    pre-RLE1 CRC) — a list or a streaming producer (Rle1Feed wrapper, the
+    file compressor's window chain).
 
     Hybrid scheduling: the device pipeline is link/chip-bound while most
     host cores idle, and the native CPU engine (tpubz/native/bwt.cpp)
@@ -330,10 +353,10 @@ def _device_block_results(enc, arr, out, blocks):
     # (FIFO) while isolating the main loop from a blocking/raising launch
     dispatch_pool = ThreadPoolExecutor(1)
 
-    def emit(fetch_fut, i0, i1):
+    def emit(fetch_fut, raw):
         key, syms, rle2_len, freqs, used = fetch_fut.result()
         t0 = time.time()
-        crc = block_crc(arr[i0:i1])
+        crc = block_crc(raw)
         blk = DeviceBlockEncoder.emit_block(key, syms, rle2_len, freqs, used, crc)
         data, nbits = blk.pack()
         leg_samples.append(time.time() - t0)
@@ -346,12 +369,12 @@ def _device_block_results(enc, arr, out, blocks):
         key, last = jax.device_get((key_d, last_d))
         return int(key), np.asarray(last)[:n]
 
-    def emit_bwt(fetch_fut, i0, i1):
+    def emit_bwt(fetch_fut, raw):
         from ..native import mtf_rle2_native
 
         key, last = fetch_fut.result()
         t0 = time.time()
-        crc = block_crc(arr[i0:i1])
+        crc = block_crc(raw)
         res = mtf_rle2_native(last)
         if res is None:  # no native lib: numpy mirror
             from ..hostref.mtf_rle2 import mtf_rle2_encode
@@ -441,7 +464,7 @@ def _device_block_results(enc, arr, out, blocks):
     epoch = _stream_epoch_g[0]
     _dev_done_g.clear()  # per-stream gap state; cross-stream memory is the
     # rig profile (trained at stream end), not stale completion timestamps
-    if _block_total(blocks) >= 8:
+    if _items_total(items) >= 8:
         # long streams refresh the re-probe budget: phases swing on minute
         # scales, so a device struck off in one dead phase must get one
         # block per stream to argue its way back in. The cost of a wasted
@@ -461,12 +484,12 @@ def _device_block_results(enc, arr, out, blocks):
     if not _cpu_ema_g[0] and prof.get("cpu_block_s"):
         _cpu_ema_g[0] = float(prof["cpu_block_s"])
 
-    def cpu_one(o0, o1, i0, i1):
+    def cpu_one(idx, blk, raw):
         t0 = time.time()
         try:
-            crc = block_crc(arr[i0:i1])
-            blk = host_enc.encode_block(out[o0:o1], crc)
-            data, nbits = blk.pack()
+            crc = block_crc(raw)
+            b = host_enc.encode_block(blk, crc)
+            data, nbits = b.pack()
             return crc, data, nbits
         finally:
             dt = time.time() - t0
@@ -474,7 +497,7 @@ def _device_block_results(enc, arr, out, blocks):
                 # epoch-guarded like the device spans: an abandoned twin
                 # resolving during the next stream must not pollute its
                 # timeline
-                last_stream_events.append(("cpu", i0, t0, t0 + dt))
+                last_stream_events.append(("cpu", idx, t0, t0 + dt))
             _cpu_ema_g[0] = (
                 dt if not _cpu_ema_g[0] else 0.5 * _cpu_ema_g[0] + 0.5 * dt
             )
@@ -494,7 +517,7 @@ def _device_block_results(enc, arr, out, blocks):
                 cpu_inflight[0] += 1
         return ok
 
-    def _timed(fn, t_disp, seq, *args):
+    def _timed(fn, t_disp, seq, idx, *args):
         """Wrap a device-route emit: dev_inflight decrements even when the
         block errors (a healed error must not permanently suppress device
         dispatch), while cadence samples record only successes (an instant
@@ -513,23 +536,20 @@ def _device_block_results(enc, arr, out, blocks):
                 dev_inflight[0] -= 1
                 dev_flight_t.pop(seq, None)
             if _stream_epoch_g[0] == epoch:
-                # args[1] is the block's raw-input offset in both emit
-                # wrappers; the span runs dispatch -> emit-done (the device
-                # block's full latency as the stream experiences it).
+                # the span runs dispatch -> emit-done (the device block's
+                # full latency as the stream experiences it).
                 # Epoch-guarded: an abandoned straggler resolving during
                 # the NEXT stream must not pollute its timeline
-                last_stream_events.append(
-                    ("dev", args[1], t_disp, time.time())
-                )
+                last_stream_events.append(("dev", idx, t_disp, time.time()))
             if ok and _stream_epoch_g[0] == epoch:
                 _dev_done_g.append(time.time())
                 dev_lat_samples.append(time.time() - t_disp)
 
-    def emit_timed(fetch_fut, t_disp, seq, i0, i1):
-        return _timed(emit, t_disp, seq, fetch_fut, i0, i1)
+    def emit_timed(fetch_fut, t_disp, seq, idx, raw):
+        return _timed(emit, t_disp, seq, idx, fetch_fut, raw)
 
-    def emit_bwt_timed(fetch_fut, t_disp, seq, i0, i1):
-        return _timed(emit_bwt, t_disp, seq, fetch_fut, i0, i1)
+    def emit_bwt_timed(fetch_fut, t_disp, seq, idx, raw):
+        return _timed(emit_bwt, t_disp, seq, idx, fetch_fut, raw)
 
     def dev_cadence():
         """Median gap between recent device completions. Gaps up to 5s are
@@ -618,7 +638,7 @@ def _device_block_results(enc, arr, out, blocks):
     n_dev = [0]  # blocks dispatched to each engine (phase attribution)
     n_cpu = [0]
 
-    def dispatch_device(o0, o1, i0, i1):
+    def dispatch_device(idx, blk, raw):
         n_dev[0] += 1
         t_disp = time.time()
         with dev_lock:
@@ -626,7 +646,6 @@ def _device_block_results(enc, arr, out, blocks):
             dev_flight_seq[0] += 1
             seq = dev_flight_seq[0]
             dev_flight_t[seq] = t_disp
-        blk = out[o0:o1]
         if stage == "bwt":
             # bwt-only route: the chip runs just the suffix sort (the
             # stage it beats the host at, ~33 vs ~61 ms/block pipelined
@@ -644,7 +663,7 @@ def _device_block_results(enc, arr, out, blocks):
                 lambda: _materialize_bwt(launch_fut.result())
             )
             f = emit_pool.submit(
-                emit_bwt_timed, fetch_fut, t_disp, seq, i0, i1
+                emit_bwt_timed, fetch_fut, t_disp, seq, idx, raw
             )
         else:
             # full-chain route, host refine (never reads freqs/hist on
@@ -656,8 +675,8 @@ def _device_block_results(enc, arr, out, blocks):
             fetch_fut = fetch_pool.submit(
                 lambda: materialize(enc.transform(blk, lean=True))
             )
-            f = emit_pool.submit(emit_timed, fetch_fut, t_disp, seq, i0, i1)
-        inflight.append((f, "dev", ((o0, o1, i0, i1), t_disp)))
+            f = emit_pool.submit(emit_timed, fetch_fut, t_disp, seq, idx, raw)
+        inflight.append((f, "dev", ((idx, blk, raw), t_disp)))
         # queue-depth observability, mirroring the reference's RX queue
         # logging (compress.rs:81-85)
         log.debug("in-flight device blocks: %d", len(inflight))
@@ -755,8 +774,8 @@ def _device_block_results(enc, arr, out, blocks):
 
     try:
         idx = -1
-        for idx, (o0, o1, i0, i1) in enumerate(blocks):
-            remaining = _block_total(blocks) - idx
+        for idx, (blk, raw) in enumerate(items):
+            remaining = _items_total(items) - idx
             # The device runs CONCURRENTLY with the CPU workers and (on the
             # bwt route) costs only ~1/3 of a CPU block's host time. It is
             # eligible whenever its measured cadence says the block
@@ -821,7 +840,7 @@ def _device_block_results(enc, arr, out, blocks):
                     ):
                         routed_cpu = True
             if dev_eligible and not routed_cpu:
-                dispatch_device(o0, o1, i0, i1)
+                dispatch_device(idx, blk, raw)
             elif routed_cpu or (
                 cpu_pool is not None
                 and steal_ok(remaining)
@@ -829,7 +848,7 @@ def _device_block_results(enc, arr, out, blocks):
             ):
                 n_cpu[0] += 1
                 inflight.append(
-                    (cpu_pool.submit(cpu_one, o0, o1, i0, i1), "cpu", None)
+                    (cpu_pool.submit(cpu_one, idx, blk, raw), "cpu", None)
                 )
                 log.debug("in-flight blocks (cpu steal): %d", len(inflight))
             elif cpu_pool is not None and cpu_acquire(
@@ -845,13 +864,13 @@ def _device_block_results(enc, arr, out, blocks):
                 # always free because cpu_one releases in a finally)
                 n_cpu[0] += 1
                 inflight.append(
-                    (cpu_pool.submit(cpu_one, o0, o1, i0, i1), "cpu", None)
+                    (cpu_pool.submit(cpu_one, idx, blk, raw), "cpu", None)
                 )
             else:
                 # no CPU pool (or it stayed saturated past the wait and the
                 # device still looks usable): overflow to the device; the
                 # ordered drain applies the remaining backpressure
-                dispatch_device(o0, o1, i0, i1)
+                dispatch_device(idx, blk, raw)
             if len(inflight) >= WINDOW:
                 yield pop_head()
         while inflight:
