@@ -175,3 +175,27 @@ def test_console_entry_points_exist():
     assert parse_args([], prog="tpunzip2").mode == "unzip"
     o = parse_args([], prog="tpcat")
     assert o.mode == "unzip" and o.stdout
+
+
+def test_stdin_stdout_streams_bounded(monkeypatch, capsysbinary):
+    """No-file invocations stream stdin->stdout through the bounded-memory
+    paths (the C tool's `bzip2 < huge` shape): compressed output must be a
+    valid stream, and -d must invert it."""
+    import bz2
+
+    rng = np.random.default_rng(5)
+    raw = (b"stream me please " * 4000
+           + bytes(rng.integers(0, 256, 120_000, dtype=np.uint8)))
+
+    monkeypatch.setattr(
+        "sys.stdin", type("S", (), {"buffer": io.BytesIO(raw)})()
+    )
+    assert run(["-q", "-1"]) == 0
+    z = capsysbinary.readouterr().out
+    assert bz2.decompress(z) == raw
+
+    monkeypatch.setattr(
+        "sys.stdin", type("S", (), {"buffer": io.BytesIO(z)})()
+    )
+    assert run(["-q", "-d"]) == 0
+    assert capsysbinary.readouterr().out == raw

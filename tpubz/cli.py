@@ -233,13 +233,20 @@ def _run(o: Opts) -> int:
     decompress = _decompress_fn() if o.mode in ("unzip", "test") else None
 
     if not o.files:
-        data = sys.stdin.buffer.read()
+        # stdin/stdout: the bounded-memory streaming paths, like the C
+        # tool (`bzip2 < huge` must not load the input whole); the
+        # persistent pipeline keeps throughput equal to the in-memory path
+        from .stream.files import compress_stream, decompress_stream
+
         if o.mode == "zip":
-            sys.stdout.buffer.write(compress(data, o.level))
+            if o.engine == "host":
+                sys.stdout.buffer.write(compress(sys.stdin.buffer.read(), o.level))
+            else:
+                compress_stream(sys.stdin.buffer, sys.stdout.buffer, o.level)
         elif o.mode == "unzip":
-            sys.stdout.buffer.write(decompress(data))
+            decompress_stream(sys.stdin.buffer, sys.stdout.buffer)
         else:
-            decompress(data)
+            decompress(sys.stdin.buffer.read())
             _log(o, 1, "stdin: ok")
         return 0
 

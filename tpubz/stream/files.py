@@ -177,10 +177,14 @@ class _WindowItems:
                 pass
 
     def total_estimate(self) -> int:
-        if self._done or self._size_hint is None:
-            return max(self._emitted, 1) if self._done else (
-                self._emitted + 2
-            )
+        if self._done:
+            return max(self._emitted, 1)
+        if self._size_hint is None:
+            # unseekable source (pipe/socket): length unknown — claim a
+            # healthy remainder so the scheduler keeps the device eligible
+            # mid-stream (the drain's immediate-twin guard bounds the tail
+            # cost if the stream actually ends inside it)
+            return self._emitted + 8
         rest = max(0, self._size_hint - self._raw_seen)
         return self._emitted + max(1, -(-rest // self._budget))
 
