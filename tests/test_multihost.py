@@ -43,6 +43,22 @@ def test_multihost_decode_singleprocess(rng):
     assert decompress_multihost(s1 + s2) == d + d2
 
 
+def test_multihost_decode_concat_level_cap_binds(rng):
+    """Concatenated streams where the SECOND stream's blocks exceed the
+    first stream's output cap: a level-1 stream followed by a level-9
+    stream whose single block decodes to ~260k (> the 100k level-1 bound).
+    The per-candidate level partition (or, if that ever mispartitions, the
+    retry-at-9 healing path in try_decode) must decode it — a regression
+    guard for the ADVICE r3 mislevel finding."""
+    from tpubz.dist.multihost import decompress_multihost
+    from tpubz.hostref.stream import compress
+
+    d1 = _mixed_input(rng, 120_000)
+    big = (b"abcdefgh" * 16_000 + bytes(rng.integers(0, 4, 4_000, dtype=np.uint8))) * 2
+    s = compress(d1, 1) + compress(big, 9)
+    assert decompress_multihost(s) == d1 + big
+
+
 def test_multihost_decode_rejects_corruption(rng):
     from tpubz.dist.multihost import decompress_multihost
     from tpubz.hostref.stream import compress
