@@ -47,6 +47,42 @@
 #error "tpubz native engine assumes a little-endian host"
 #endif
 
+// Optional per-phase accounting for tools/bwt_microbench.cpp — compiled
+// out of the production .so (no TPUBZ_BWT_PROF in the build flags).
+#ifdef TPUBZ_BWT_PROF
+#include <chrono>
+#include <cstdio>
+namespace {
+double g_prof[10];
+inline double prof_now() {
+  using namespace std::chrono;
+  return duration<double, std::milli>(
+             steady_clock::now().time_since_epoch())
+      .count();
+}
+struct ProfScope {
+  int slot;
+  double t0;
+  explicit ProfScope(int s) : slot(s), t0(prof_now()) {}
+  ~ProfScope() { g_prof[slot] += prof_now() - t0; }
+};
+#define TPUBZ_PROF(slot) ProfScope _prof_scope_##__LINE__(slot)
+}  // namespace
+extern "C" void tpubz_bwt_prof_dump() {
+  static const char* names[10] = {
+      "least_rot", "build_sv", "fill+pass1", "induce1", "naming",
+      "reduce",    "pass2",    "induce2",    "period",  "lastcol"};
+  double tot = 0;
+  for (int i = 0; i < 10; ++i) tot += g_prof[i];
+  printf("bwt phase totals (all blocks x reps, recursion folded in):\n");
+  for (int i = 0; i < 10; ++i)
+    printf("  %-10s %8.1f ms (%4.1f%%)\n", names[i], g_prof[i],
+           100.0 * g_prof[i] / tot);
+}
+#else
+#define TPUBZ_PROF(slot) ((void)0)
+#endif
+
 namespace {
 
 // Grow-only per-thread bump arena for the SA-IS per-level scratch (cnt,
@@ -71,6 +107,12 @@ struct Arena {
     int32_t* p = buf.data() + top;
     top += k;
     return p;
+  }
+  // 8-byte-aligned variant (the LMS bitmap is accessed as u64 words; the
+  // vector's base is allocator-aligned, so an even int32 offset suffices)
+  int32_t* alloc8(size_t k) {
+    top = (top + 1) & ~(size_t)1;
+    return alloc(k + (k & 1));
   }
   void release(size_t k) { top -= k; }
 };
@@ -113,7 +155,10 @@ void sais_fused(const FusedT* sv, int32_t* sa, int32_t n, int32_t K,
   // with suffix order); sa itself is read sequentially, so the upcoming
   // read targets are known PD iterations early — prefetch them. Entries
   // not yet induced read as -1 at prefetch time (harmless no-op hint).
-  constexpr int32_t PD = 24;
+#ifndef TPUBZ_INDUCE_PD
+#define TPUBZ_INDUCE_PD 24
+#endif
+  constexpr int32_t PD = TPUBZ_INDUCE_PD;
   auto induce = [&]() {
     bkt_heads();
     for (int32_t i = 0; i < n; ++i) {
@@ -145,49 +190,101 @@ void sais_fused(const FusedT* sv, int32_t* sa, int32_t n, int32_t K,
   // LMS *substrings*; the same right-to-left scan collects the LMS
   // positions (filled from the end so `lms` ends up in ascending index
   // order without a second pass over sv)
-  std::fill(sa, sa + n, -1);
-  bkt_tails();
   int32_t lms_cap = n / 2 + 1;
   int32_t* lms_buf = ar.alloc(lms_cap);
+  // Per-LMS substring length (next LMS pos - this one; sentinel gets 0),
+  // indexed pos>>1 like name[] (LMS positions are never adjacent), plus a
+  // 1-bit-per-position LMS bitmap: the naming loop tests LMS-ness for all
+  // n SA entries, and the bitmap (n/8 bytes, L1/L2-resident) makes that a
+  // cheap hit instead of a random sv[cur-1..cur] read into the full string.
+  int32_t* plen = ar.alloc(lms_cap);
+  int32_t nbw = n / 64 + 1;  // u64 words
+  uint64_t* lmsbit = reinterpret_cast<uint64_t*>(ar.alloc8(2 * nbw));
   int32_t lms_idx = lms_cap;
-  for (int32_t i = n - 1; i >= 0; --i)
-    if (is_lms(i)) {
-      sa[--bkt[sv[i] >> 1]] = i;
-      lms_buf[--lms_idx] = i;
-    }
+  {
+    TPUBZ_PROF(2);
+    std::fill(sa, sa + n, -1);
+    std::memset(lmsbit, 0, (size_t)nbw * 8);
+    bkt_tails();
+    int32_t next_found = -1;
+    for (int32_t i = n - 1; i >= 0; --i)
+      if (is_lms(i)) {
+        sa[--bkt[sv[i] >> 1]] = i;
+        lms_buf[--lms_idx] = i;
+        plen[i >> 1] = next_found < 0 ? 0 : next_found - i;
+        lmsbit[i >> 6] |= 1ull << (i & 63);
+        next_found = i;
+      }
+  }
   const int32_t* lms = lms_buf + lms_idx;  // LMS positions in index order
   int32_t m = lms_cap - lms_idx;
-  induce();
+  {
+    TPUBZ_PROF(3);
+    induce();
+  }
 
   // name LMS substrings in their sorted order. Two LMS positions are never
   // adjacent (an LMS needs an L directly before it), so name[] indexed by
   // cur/2 is collision-free at half the footprint. Dirty memory is fine:
   // every slot read (lms[k]>>1) is written first — after pass 1 the SA
   // holds all n positions, so the loop visits every LMS.
+  //
+  // Substring compare: the old per-symbol loop (sv read + two is_lms
+  // probes per step) is replaced by a length test + flat memcmp — two LMS
+  // substrings are equal iff their lengths match AND the fused words over
+  // [0, len] match (a length mismatch always means "differ": either a
+  // fused word differs before min(len), or the shorter one's end flag
+  // fires alone). The end symbol IS included in the compare (d == len),
+  // exactly like the old loop which compared sv before checking ends.
   int32_t* name = ar.alloc(n / 2 + 1);
   int32_t names = 0;
   int32_t prev = -1;
-  for (int32_t i = 0; i < n; ++i) {
-    int32_t cur = sa[i];
-    if (cur <= 0 || !is_lms(cur)) continue;
-    bool differ = (prev < 0);
-    if (!differ) {
-      for (int32_t d = 0;; ++d) {
-        bool end_p = d > 0 && is_lms(prev + d);
-        bool end_c = d > 0 && is_lms(cur + d);
-        if (sv[prev + d] != sv[cur + d]) {  // fused == (value, type) pair
-          differ = true;
-          break;
-        }
-        if (end_p || end_c) {
-          differ = (end_p != end_c);
-          break;
+  {
+    TPUBZ_PROF(4);
+    // inline word compare instead of libc memcmp: typical LMS substrings
+    // are <= 4 symbols, so the whole compare is ONE masked u64 load pair
+    // (sv buffers are allocated with >= 4 elements of tail padding to make
+    // the unconditional 8-byte loads safe)
+    int32_t lp = 0;
+    for (int32_t i = 0; i < n; ++i) {
+      int32_t cur = sa[i];
+      if (!((lmsbit[(uint32_t)cur >> 6] >> (cur & 63)) & 1)) continue;
+      int32_t lc = plen[cur >> 1];
+      bool differ;
+      if (prev < 0 || lp != lc) {
+        differ = true;
+      } else {
+        const char* a = reinterpret_cast<const char*>(sv + prev);
+        const char* b = reinterpret_cast<const char*>(sv + cur);
+        size_t bytes = ((size_t)lc + 1) * sizeof(FusedT);
+        uint64_t wa, wb;
+        std::memcpy(&wa, a, 8);
+        std::memcpy(&wb, b, 8);
+        if (bytes <= 8) {
+          uint64_t diff = wa ^ wb;
+          differ = bytes == 8
+                       ? diff != 0
+                       : (diff & ((1ull << (8 * bytes)) - 1)) != 0;
+        } else {
+          differ = wa != wb;
+          size_t d = 8;
+          for (; !differ && d + 8 <= bytes; d += 8) {
+            std::memcpy(&wa, a + d, 8);
+            std::memcpy(&wb, b + d, 8);
+            differ = wa != wb;
+          }
+          if (!differ && d < bytes) {
+            std::memcpy(&wa, a + d, 8);
+            std::memcpy(&wb, b + d, 8);
+            differ = ((wa ^ wb) & ((1ull << (8 * (bytes - d))) - 1)) != 0;
+          }
         }
       }
+      if (differ) names++;
+      name[cur >> 1] = names - 1;
+      prev = cur;
+      lp = lc;
     }
-    if (differ) names++;
-    name[cur >> 1] = names - 1;
-    prev = cur;
   }
 
   // reduced problem: names in LMS index order (ends with the sentinel's
@@ -203,38 +300,49 @@ void sais_fused(const FusedT* sv, int32_t* sa, int32_t n, int32_t K,
     // recursion's induce scans, exactly like the top level
     auto build_and_recurse = [&](auto* sv1) {
       using T1 = std::remove_reference_t<decltype(*sv1)>;
-      int32_t nv = name[lms[m - 1] >> 1];  // sentinel name
-      uint8_t ty = 1;
-      sv1[m - 1] = (T1)((nv << 1) | 1);
-      for (int32_t k = m - 2; k >= 0; --k) {
-        int32_t v = name[lms[k] >> 1];
-        ty = (v < nv) || (v == nv && ty);
-        sv1[k] = (T1)((v << 1) | ty);
-        nv = v;
+      {
+        TPUBZ_PROF(5);
+        int32_t nv = name[lms[m - 1] >> 1];  // sentinel name
+        uint8_t ty = 1;
+        sv1[m - 1] = (T1)((nv << 1) | 1);
+        for (int32_t k = m - 2; k >= 0; --k) {
+          int32_t v = name[lms[k] >> 1];
+          ty = (v < nv) || (v == nv && ty);
+          sv1[k] = (T1)((v << 1) | ty);
+          nv = v;
+        }
       }
       sais_fused<T1>(sv1, sa1, m, names, ar);
     };
+    // +4 int32 tail padding on every fused buffer: the naming loop's
+    // unconditional 8-byte compare loads may overread past the sentinel
     if (names < (1 << 15)) {
-      int32_t* raw = ar.alloc((m + 1) / 2);
+      int32_t* raw = ar.alloc((m + 1) / 2 + 4);
       build_and_recurse(reinterpret_cast<uint16_t*>(raw));
-      ar.release((m + 1) / 2);
+      ar.release((m + 1) / 2 + 4);
     } else {
-      int32_t* sv1 = ar.alloc(m);
+      int32_t* sv1 = ar.alloc(m + 4);
       build_and_recurse(sv1);
-      ar.release(m);
+      ar.release(m + 4);
     }
   } else {
     for (int32_t k = 0; k < m; ++k) sa1[name[lms[k] >> 1]] = k;
   }
 
   // pass 2: LMS suffixes at bucket tails in their true sorted order, induce
-  std::fill(sa, sa + n, -1);
-  bkt_tails();
-  for (int32_t k = m - 1; k >= 0; --k) {
-    int32_t j = lms[sa1[k]];
-    sa[--bkt[sv[j] >> 1]] = j;
+  {
+    TPUBZ_PROF(6);
+    std::fill(sa, sa + n, -1);
+    bkt_tails();
+    for (int32_t k = m - 1; k >= 0; --k) {
+      int32_t j = lms[sa1[k]];
+      sa[--bkt[sv[j] >> 1]] = j;
+    }
   }
-  induce();
+  {
+    TPUBZ_PROF(7);
+    induce();
+  }
   ar.top = ar_mark;  // pop this level's scratch
 }
 
@@ -253,21 +361,26 @@ thread_local Arena tl_arena;
 // on this thread: entry i is the start of the i-th smallest suffix.
 const int32_t* sais_u8(const uint8_t* t, int32_t n) {
   int32_t N = n + 1;
-  if ((int32_t)tl_sv.size() < N) tl_sv.resize(N);
+  // +8 u16 tail padding for the naming loop's 8-byte compare overreads
+  if ((int32_t)tl_sv.size() < N + 8) tl_sv.resize(N + 8);
   uint16_t* sv = tl_sv.data();
-  sv[n] = 1;  // sentinel: value 0, S-type
-  int32_t nv = 0;
-  uint8_t ty = 1;
-  for (int32_t i = n - 1; i >= 0; --i) {
-    int32_t v = (int32_t)t[i] + 1;
-    ty = (v < nv) || (v == nv && ty);
-    sv[i] = (uint16_t)((v << 1) | ty);
-    nv = v;
+  {
+    TPUBZ_PROF(1);
+    sv[n] = 1;  // sentinel: value 0, S-type
+    int32_t nv = 0;
+    uint8_t ty = 1;
+    for (int32_t i = n - 1; i >= 0; --i) {
+      int32_t v = (int32_t)t[i] + 1;
+      ty = (v < nv) || (v == nv && ty);
+      sv[i] = (uint16_t)((v << 1) | ty);
+      nv = v;
+    }
   }
   if ((int32_t)tl_sa.size() < N) tl_sa.resize(N);
-  // per-level simultaneous scratch is <= 2K + 2n_l + 2 ints with
-  // n_{l+1} <= n_l/2, so 8N+4096 bounds the whole recursion
-  tl_arena.prepare((size_t)N * 8 + 4096);
+  // per-level simultaneous scratch is <= 2K + 2.6n_l + O(1) ints (lms,
+  // plen, name at n_l/2+1 each, bitmap n_l/32, sa1+sv1 <= n_l) with
+  // n_{l+1} <= n_l/2, so 10N+8192 bounds the whole recursion
+  tl_arena.prepare((size_t)N * 10 + 8192);
   sais_fused<uint16_t>(sv, tl_sa.data(), N, 257, tl_arena);
   return tl_sa.data() + 1;  // drop the sentinel's slot 0
 }
@@ -280,7 +393,33 @@ int32_t least_rotation(const uint8_t* s, int32_t n) {
   int32_t i = 0, j = 1, k = 0;
   while (i < n && j < n && k < n) {
     int32_t ik = i + k, jk = j + k;
-    int32_t d = (int32_t)s[ik < n ? ik : ik - n] - (int32_t)s[jk < n ? jk : jk - n];
+    if (ik >= n) ik -= n;
+    if (jk >= n) jk -= n;
+#ifdef __AVX2__
+    // bulk-advance over the equal prefix, but only once the scalar duel
+    // has already matched 16 bytes (long-match regime): on high-entropy
+    // data most duels mismatch on byte 0 and the wide loads would cost
+    // more than they save (measured 3.7x slower unconditionally)
+    while (k >= 16 && k + 32 <= n && ik + 32 <= n && jk + 32 <= n) {
+      __m256i a = _mm256_loadu_si256((const __m256i*)(s + ik));
+      __m256i b = _mm256_loadu_si256((const __m256i*)(s + jk));
+      uint32_t ne =
+          ~(uint32_t)_mm256_movemask_epi8(_mm256_cmpeq_epi8(a, b));
+      if (ne) {
+        int32_t adv = (int32_t)__builtin_ctz(ne);
+        k += adv;
+        ik += adv;
+        jk += adv;
+        goto compare_one;
+      }
+      k += 32;
+      ik += 32;
+      jk += 32;
+    }
+    if (k >= n) break;
+#endif
+  compare_one:
+    int32_t d = (int32_t)s[ik] - (int32_t)s[jk];
     if (d == 0) {
       ++k;
       continue;
@@ -306,7 +445,11 @@ extern "C" int64_t tpubz_bwt(const uint8_t* data, int64_t n64,
     last[0] = data[0];
     return 1;
   }
-  int32_t r = least_rotation(data, n);
+  int32_t r;
+  {
+    TPUBZ_PROF(0);
+    r = least_rotation(data, n);
+  }
   if ((int32_t)tl_T.size() < n) tl_T.resize(n);
   uint8_t* T = tl_T.data();
   std::memcpy(T, data + r, (size_t)(n - r));
@@ -327,14 +470,17 @@ extern "C" int64_t tpubz_bwt(const uint8_t* data, int64_t n64,
     return std::memcmp(T, T + q, (size_t)(n - q)) == 0;
   };
   int32_t p = n;
-  int32_t rem = n;
-  for (int32_t q = 2; (int64_t)q * q <= rem; ++q) {
-    while (rem % q == 0) {
-      rem /= q;
-      if (p % q == 0 && is_period(p / q)) p /= q;
+  {
+    TPUBZ_PROF(8);
+    int32_t rem = n;
+    for (int32_t q = 2; (int64_t)q * q <= rem; ++q) {
+      while (rem % q == 0) {
+        rem /= q;
+        if (p % q == 0 && is_period(p / q)) p /= q;
+      }
     }
+    if (rem > 1 && p % rem == 0 && is_period(p / rem)) p /= rem;
   }
-  if (rem > 1 && p % rem == 0 && is_period(p / rem)) p /= rem;
 
   // BWT last column directly from T (no rot array): S-rotation
   // (sa[i]+r) mod n and T-rotation sa[i] are the same string, so the byte
@@ -345,13 +491,16 @@ extern "C" int64_t tpubz_bwt(const uint8_t* data, int64_t n64,
   // (n-r) mod n, folded into the same pass.
   int32_t target = r == 0 ? 0 : n - r;
   int32_t key = 0;
-  constexpr int32_t PD = 24;  // sa is sequential; the T[sa[i]-1] read is
-                              // random — prefetch it PD entries ahead
-  for (int32_t i = 0; i < n; ++i) {
-    if (i + PD < n) __builtin_prefetch(&T[sa[i + PD] - 1]);
-    int32_t v = sa[i];
-    last[i] = T[v == 0 ? n - 1 : v - 1];
-    if (v == target) key = i;
+  {
+    TPUBZ_PROF(9);
+    constexpr int32_t PD = 24;  // sa is sequential; the T[sa[i]-1] read is
+                                // random — prefetch it PD entries ahead
+    for (int32_t i = 0; i < n; ++i) {
+      if (i + PD < n) __builtin_prefetch(&T[sa[i + PD] - 1]);
+      int32_t v = sa[i];
+      last[i] = T[v == 0 ? n - 1 : v - 1];
+      if (v == target) key = i;
+    }
   }
   if (p < n) {
     // ascending (m, m+p, ...) tie rewrite puts rotation 0 — class m == 0,
