@@ -117,6 +117,54 @@ struct Arena {
   void release(size_t k) { top -= k; }
 };
 
+// Type bits (LSBs) of 64 consecutive fused elements packed into one u64
+// (bit k = stype of p[k]) — feeds the word-wise LMS scan in pass 1.
+#ifdef __AVX512BW__
+inline uint64_t ty_bits64(const uint16_t* p) {
+  const __m512i one = _mm512_set1_epi16(1);
+  uint64_t lo = (uint32_t)_mm512_test_epi16_mask(_mm512_loadu_si512(p), one);
+  uint64_t hi =
+      (uint32_t)_mm512_test_epi16_mask(_mm512_loadu_si512(p + 32), one);
+  return lo | (hi << 32);
+}
+inline uint64_t ty_bits64(const int32_t* p) {
+  const __m512i one = _mm512_set1_epi32(1);
+  uint64_t b0 = (uint16_t)_mm512_test_epi32_mask(_mm512_loadu_si512(p), one);
+  uint64_t b1 =
+      (uint16_t)_mm512_test_epi32_mask(_mm512_loadu_si512(p + 16), one);
+  uint64_t b2 =
+      (uint16_t)_mm512_test_epi32_mask(_mm512_loadu_si512(p + 32), one);
+  uint64_t b3 =
+      (uint16_t)_mm512_test_epi32_mask(_mm512_loadu_si512(p + 48), one);
+  return b0 | (b1 << 16) | (b2 << 32) | (b3 << 48);
+}
+#else
+// SWAR: gather lane LSBs to the top nibble/pair via one multiply per u64
+inline uint64_t ty_bits64(const uint16_t* p) {
+  constexpr uint64_t M = 0x0001000100010001ull;
+  constexpr uint64_t K =
+      (1ull << 48) | (1ull << 33) | (1ull << 18) | (1ull << 3);
+  uint64_t out = 0;
+  for (int g = 0; g < 16; ++g) {
+    uint64_t w;
+    std::memcpy(&w, p + 4 * g, 8);
+    out |= (((w & M) * K) >> 48 & 0xF) << (4 * g);
+  }
+  return out;
+}
+inline uint64_t ty_bits64(const int32_t* p) {
+  constexpr uint64_t M = 0x0000000100000001ull;
+  constexpr uint64_t K = (1ull << 62) | (1ull << 31);
+  uint64_t out = 0;
+  for (int g = 0; g < 32; ++g) {
+    uint64_t w;
+    std::memcpy(&w, p + 2 * g, 8);
+    out |= (((w & M) * K) >> 62 & 0x3) << (2 * g);
+  }
+  return out;
+}
+#endif
+
 // SA-IS over a FUSED string sv[0..n): sv[i] = (value << 1) | stype, values
 // in [0, K); position n-1 must hold the unique smallest value (sentinel,
 // S-type by convention => sv[n-1] == 1). Fills sa[0..n).
@@ -200,24 +248,51 @@ void sais_fused(const FusedT* sv, int32_t* sa, int32_t n, int32_t K,
   int32_t* plen = ar.alloc(lms_cap);
   int32_t nbw = n / 64 + 1;  // u64 words
   uint64_t* lmsbit = reinterpret_cast<uint64_t*>(ar.alloc8(2 * nbw));
-  int32_t lms_idx = lms_cap;
+  int32_t m = 0;
   {
     TPUBZ_PROF(2);
     std::fill(sa, sa + n, -1);
-    std::memset(lmsbit, 0, (size_t)nbw * 8);
     bkt_tails();
-    int32_t next_found = -1;
-    for (int32_t i = n - 1; i >= 0; --i)
-      if (is_lms(i)) {
-        sa[--bkt[sv[i] >> 1]] = i;
-        lms_buf[--lms_idx] = i;
-        plen[i >> 1] = next_found < 0 ? 0 : next_found - i;
-        lmsbit[i >> 6] |= 1ull << (i & 63);
-        next_found = i;
+    // Word-wise LMS scan: lms-mask = ty & ~(ty<<1 | carry) over 64
+    // positions at a time (carry = type of the word's predecessor;
+    // seeded 1 so position 0 can never be LMS), with scalar work only on
+    // actual hits. The mask word IS the bitmap the naming loop probes,
+    // so it is stored as computed — no separate memset/bit-set pass.
+    int32_t nw = n >> 6;
+    int32_t prev_pos = -1;
+    uint64_t carry = 1;
+    for (int32_t w = 0; w < nw; ++w) {
+      uint64_t ty = ty_bits64(sv + ((int64_t)w << 6));
+      uint64_t lm = ty & ~((ty << 1) | carry);
+      carry = ty >> 63;
+      lmsbit[w] = lm;
+      int32_t base = w << 6;
+      while (lm) {
+        int32_t pos = base + (int32_t)__builtin_ctzll(lm);
+        lm &= lm - 1;
+        sa[--bkt[sv[pos] >> 1]] = pos;
+        lms_buf[m++] = pos;
+        if (prev_pos >= 0) plen[prev_pos >> 1] = pos - prev_pos;
+        prev_pos = pos;
       }
+    }
+    uint64_t tail_lms = 0;
+    uint64_t prev_ty = carry;
+    for (int32_t i = nw << 6; i < n; ++i) {
+      uint64_t t_ = sv[i] & 1;
+      if (t_ && !prev_ty) {
+        tail_lms |= 1ull << (i & 63);
+        sa[--bkt[sv[i] >> 1]] = i;
+        lms_buf[m++] = i;
+        if (prev_pos >= 0) plen[prev_pos >> 1] = i - prev_pos;
+        prev_pos = i;
+      }
+      prev_ty = t_;
+    }
+    if (n & 63) lmsbit[nw] = tail_lms;
+    if (prev_pos >= 0) plen[prev_pos >> 1] = 0;  // sentinel, always last LMS
   }
-  const int32_t* lms = lms_buf + lms_idx;  // LMS positions in index order
-  int32_t m = lms_cap - lms_idx;
+  const int32_t* lms = lms_buf;  // LMS positions in index order
   {
     TPUBZ_PROF(3);
     induce();
@@ -417,6 +492,10 @@ int32_t least_rotation(const uint8_t* s, int32_t n) {
       jk += 32;
     }
     if (k >= n) break;
+    // a bulk advance can run a cursor exactly to n — wrap before the
+    // scalar compare (the original loop recomputed ik/jk mod n each step)
+    if (ik >= n) ik -= n;
+    if (jk >= n) jk -= n;
 #endif
   compare_one:
     int32_t d = (int32_t)s[ik] - (int32_t)s[jk];
@@ -539,11 +618,85 @@ extern "C" int64_t tpubz_mtf_rle2(const uint8_t* last, int64_t n,
     }
     zeros = 0;
   };
-  // SWAR over the 256-byte MTF list and the input: find-byte and run-scan
-  // eight lanes per step with no per-symbol libc call overhead.
   constexpr uint64_t ONES = 0x0101010101010101ull;
   constexpr uint64_t HIGH = 0x8080808080808080ull;
   int64_t i = 0;
+#if defined(__AVX512VBMI__) && defined(__AVX512BW__)
+  // Register-resident list head: ranks are MTF-local, so the first 64
+  // list entries stay in ONE zmm register across symbols — find is a
+  // single cmpeq-mask, the update is a cross-lane vpermb byte shift plus
+  // a blend, and NO memory round-trips on the hot path (a masked-store/
+  // wide-load version stalled on failed store-forwarding every symbol;
+  // measured no better than scalar). Memory bytes 64..255 are only
+  // touched on the rare rank>=64 fallback, which syncs the register in
+  // and out around a memmove.
+  {
+    const __m512i shift_idx =
+        _mm512_set_epi64(0x3e3d3c3b3a393837ull, 0x363534333231302full,
+                         0x2e2d2c2b2a292827ull, 0x262524232221201full,
+                         0x1e1d1c1b1a191817ull, 0x161514131211100full,
+                         0x0e0d0c0b0a090807ull, 0x0605040302010000ull);
+    __m512i zhead = _mm512_loadu_si512(mtf);
+    uint8_t head0 = mtf[0];  // scalar mirror of list entry 0
+    while (i < n) {
+      uint8_t b = last[i];
+      if (head0 == b) {
+        // zero run: consume the whole run of the current head byte
+        int64_t j = i + 1;
+        uint64_t pat = (uint64_t)b * ONES;
+        while (j + 8 <= n) {
+          uint64_t w;
+          std::memcpy(&w, last + j, 8);
+          uint64_t x = w ^ pat;
+          if (x) {
+            j += (int64_t)(__builtin_ctzll(x) >> 3);
+            goto zrun_end;
+          }
+          j += 8;
+        }
+        while (j < n && last[j] == b) ++j;
+      zrun_end:
+        zeros += j - i;
+        i = j;
+        continue;
+      }
+      if (zeros) flush_zeros();
+      {
+        const __m512i vb = _mm512_set1_epi8((char)b);
+        uint64_t m0 = _mm512_cmpeq_epi8_mask(zhead, vb);
+        int32_t r;
+        if (m0) {
+          r = (int32_t)__builtin_ctzll(m0);
+          // bytes 0..r take [b, old 0..r-1]; bytes r+1..63 keep their old
+          // entries (only the prefix up to the hit rotates)
+          __m512i sh = _mm512_mask_mov_epi8(
+              _mm512_permutexvar_epi8(shift_idx, zhead), 1, vb);
+          zhead = _mm512_mask_mov_epi8(zhead,
+                                       _bzhi_u64(~0ull, (uint32_t)r + 1), sh);
+        } else {
+          _mm512_storeu_si512(mtf, zhead);
+          for (int32_t off = 64;; off += 64) {
+            uint64_t m = _mm512_cmpeq_epi8_mask(
+                _mm512_loadu_si512(mtf + off), vb);
+            if (m) {
+              r = off + (int32_t)__builtin_ctzll(m);
+              break;
+            }
+          }
+          std::memmove(mtf + 1, mtf, (size_t)r);
+          mtf[0] = b;
+          zhead = _mm512_loadu_si512(mtf);
+        }
+        head0 = b;
+        out[o++] = (uint16_t)(r + 1);
+        freqs[r + 1]++;
+      }
+      ++i;
+    }
+  }
+#else
+  // SWAR over the 256-byte MTF list and the input: find-byte and run-scan
+  // eight lanes per step with no per-symbol libc call overhead.
   while (i < n) {
     uint8_t b = last[i];
     if (mtf[0] == b) {
@@ -568,10 +721,10 @@ extern "C" int64_t tpubz_mtf_rle2(const uint8_t* last, int64_t n,
     }
     if (zeros) flush_zeros();
     {
+      int32_t r;
       // rank = position in the list: find-byte over the 256-byte list.
       // First 8 entries via one SWAR word (most ranks are tiny — MTF
       // locality), then 32-lane AVX2 sweeps for the high-entropy tail.
-      int32_t r;
       uint64_t w0;
       std::memcpy(&w0, mtf, 8);
       uint64_t x0 = w0 ^ ((uint64_t)b * ONES);
@@ -627,6 +780,7 @@ extern "C" int64_t tpubz_mtf_rle2(const uint8_t* last, int64_t n,
     }
     ++i;
   }
+#endif
   if (zeros) flush_zeros();
   out[o++] = eob;
   freqs[eob]++;
