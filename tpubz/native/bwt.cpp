@@ -117,73 +117,101 @@ struct Arena {
   void release(size_t k) { top -= k; }
 };
 
-// Type bits (LSBs) of 64 consecutive fused elements packed into one u64
-// (bit k = stype of p[k]) — feeds the word-wise LMS scan in pass 1.
+// ---------------------------------------------------------------------------
+// SA-IS, split-array / implicit-sentinel form.
+//
+// Values and types live in SEPARATE structures: the value array is the raw
+// input itself (u8 at the top level — the block text with NO +1 shift, NO
+// appended sentinel, NO copy), and types are a 1-bit-per-position bitmap
+// (n/8 bytes, L1/L2-resident). The empty suffix is implicit: standard
+// suffix order ("a" < "ab") IS sentinel-terminated order, suffix n-1 is
+// always the first entry of its bucket's L region and is seeded there
+// manually before each L-scan (the role the explicit sentinel's induce
+// step used to play). Compared to the previous fused (value<<1|type) u16
+// string this halves the induce scans' random-read footprint (900 KB vs
+// 1.8 MB per 900k block — the value array now fits L2) and lets the
+// naming loop compare raw bytes.
+// ---------------------------------------------------------------------------
+
+// Type bitmap: bit i = 1 iff suffix i is S-type (ty[i] = V[i] < V[i+1] or
+// (V[i] == V[i+1] and ty[i+1])); ty[n-1] = L. Scalar fallback for the
+// recursion levels' integer alphabets.
+template <typename ValT>
+void build_types(const ValT* V, int32_t n, uint64_t* ty) {
+  int32_t nbw = (n + 63) >> 6;
+  std::memset(ty, 0, (size_t)nbw * 8);
+  uint8_t t = 0;  // ty[n-1] = L
+  for (int32_t i = n - 2; i >= 0; --i) {
+    t = (V[i] < V[i + 1]) || (V[i] == V[i + 1] && t);
+    ty[(uint32_t)i >> 6] |= (uint64_t)t << (i & 63);
+  }
+}
+
 #ifdef __AVX512BW__
-inline uint64_t ty_bits64(const uint16_t* p) {
-  const __m512i one = _mm512_set1_epi16(1);
-  uint64_t lo = (uint32_t)_mm512_test_epi16_mask(_mm512_loadu_si512(p), one);
-  uint64_t hi =
-      (uint32_t)_mm512_test_epi16_mask(_mm512_loadu_si512(p + 32), one);
-  return lo | (hi << 32);
-}
-inline uint64_t ty_bits64(const int32_t* p) {
-  const __m512i one = _mm512_set1_epi32(1);
-  uint64_t b0 = (uint16_t)_mm512_test_epi32_mask(_mm512_loadu_si512(p), one);
-  uint64_t b1 =
-      (uint16_t)_mm512_test_epi32_mask(_mm512_loadu_si512(p + 16), one);
-  uint64_t b2 =
-      (uint16_t)_mm512_test_epi32_mask(_mm512_loadu_si512(p + 32), one);
-  uint64_t b3 =
-      (uint16_t)_mm512_test_epi32_mask(_mm512_loadu_si512(p + 48), one);
-  return b0 | (b1 << 16) | (b2 << 32) | (b3 << 48);
-}
-#else
-// SWAR: gather lane LSBs to the top nibble/pair via one multiply per u64
-inline uint64_t ty_bits64(const uint16_t* p) {
-  constexpr uint64_t M = 0x0001000100010001ull;
-  constexpr uint64_t K =
-      (1ull << 48) | (1ull << 33) | (1ull << 18) | (1ull << 3);
-  uint64_t out = 0;
-  for (int g = 0; g < 16; ++g) {
-    uint64_t w;
-    std::memcpy(&w, p + 4 * g, 8);
-    out |= (((w & M) * K) >> 48 & 0xF) << (4 * g);
+// u8 fast path: per 64-byte word, lt/eq masks from two compares, then the
+// serial ty recurrence ty[i] = lt[i] | (eq[i] & ty[i+1]) is closed by a
+// log-doubling smear (pull resolved values from 1,2,4,...,32 above; the
+// fill mask F tracks all-eq runs so unresolved zeros never corrupt a
+// resolved bit), with the word's top all-eq run taking the carry from the
+// word above. Words are processed high-to-low; no serial chain per byte.
+void build_types(const uint8_t* V, int32_t n, uint64_t* ty) {
+  int32_t nw = (n - 1) >> 6;  // word containing position n-1
+  // scalar fringe: positions [nw*64, n-1]
+  uint64_t w = 0;
+  uint8_t t = 0;
+  for (int32_t i = n - 1; i >= nw << 6; --i) {
+    if (i < n - 1) t = (V[i] < V[i + 1]) || (V[i] == V[i + 1] && t);
+    w |= (uint64_t)t << (i & 63);
   }
-  return out;
-}
-inline uint64_t ty_bits64(const int32_t* p) {
-  constexpr uint64_t M = 0x0000000100000001ull;
-  constexpr uint64_t K = (1ull << 62) | (1ull << 31);
-  uint64_t out = 0;
-  for (int g = 0; g < 32; ++g) {
-    uint64_t w;
-    std::memcpy(&w, p + 2 * g, 8);
-    out |= (((w & M) * K) >> 62 & 0x3) << (2 * g);
+  ty[nw] = w;
+  uint64_t carry_ty = w & 1;
+  for (int32_t wd = nw - 1; wd >= 0; --wd) {
+    const uint8_t* p = V + ((int64_t)wd << 6);
+    __m512i a = _mm512_loadu_si512(p);
+    __m512i b = _mm512_loadu_si512(p + 1);
+    uint64_t lt = _mm512_cmplt_epu8_mask(a, b);
+    uint64_t eq = _mm512_cmpeq_epi8_mask(a, b);
+    uint64_t T;
+    if (eq == ~0ull) {
+      T = carry_ty ? ~0ull : 0ull;
+    } else {
+      uint64_t F = eq;
+      T = lt;
+      T |= F & (T >> 1), F &= F >> 1;
+      T |= F & (T >> 2), F &= F >> 2;
+      T |= F & (T >> 4), F &= F >> 4;
+      T |= F & (T >> 8), F &= F >> 8;
+      T |= F & (T >> 16), F &= F >> 16;
+      T |= F & (T >> 32);
+      if (carry_ty) {
+        int hb = 63 - __builtin_clzll(~eq);  // highest non-eq position
+        if (hb < 63) T |= eq & (~0ull << (hb + 1));
+      }
+    }
+    ty[wd] = T;
+    carry_ty = T & 1;
   }
-  return out;
 }
 #endif
 
-// SA-IS over a FUSED string sv[0..n): sv[i] = (value << 1) | stype, values
-// in [0, K); position n-1 must hold the unique smallest value (sentinel,
-// S-type by convention => sv[n-1] == 1). Fills sa[0..n).
-template <typename FusedT>
-void sais_fused(const FusedT* sv, int32_t* sa, int32_t n, int32_t K,
+// SA-IS over V[0..n), values in [0, K), standard suffix order. sa gets the
+// full suffix array. V must have >= 8 bytes of readable tail padding (the
+// naming loop's word compares overread).
+#ifndef TPUBZ_INDUCE_PD
+#define TPUBZ_INDUCE_PD 24
+#endif
+template <typename ValT>
+void sais_split(const ValT* V, int32_t* sa, int32_t n, int32_t K,
                 Arena& ar) {
-  if (n == 1) {
-    sa[0] = 0;
+  if (n <= 1) {
+    if (n == 1) sa[0] = 0;
     return;
   }
-  auto is_lms = [&](int32_t i) {
-    return i > 0 && (sv[i] & 1) && !(sv[i - 1] & 1);
-  };
-
   size_t ar_mark = ar.top;
   int32_t* cnt = ar.alloc(K);
   int32_t* bkt = ar.alloc(K);  // fully written by bkt_heads/tails
   std::memset(cnt, 0, (size_t)K * sizeof(int32_t));
-  for (int32_t i = 0; i < n; ++i) cnt[sv[i] >> 1]++;
+  for (int32_t i = 0; i < n; ++i) cnt[V[i]]++;
   auto bkt_tails = [&]() {
     int32_t sum = 0;
     for (int32_t c = 0; c < K; ++c) {
@@ -199,78 +227,86 @@ void sais_fused(const FusedT* sv, int32_t* sa, int32_t n, int32_t K,
     }
   };
 
-  // The induce scans are latency-bound on the random sv[j-1] read (j jumps
-  // with suffix order); sa itself is read sequentially, so the upcoming
-  // read targets are known PD iterations early — prefetch them. Entries
-  // not yet induced read as -1 at prefetch time (harmless no-op hint).
-#ifndef TPUBZ_INDUCE_PD
-#define TPUBZ_INDUCE_PD 24
-#endif
+  int32_t nbw = (n >> 6) + 1;
+  uint64_t* ty = reinterpret_cast<uint64_t*>(ar.alloc8(2 * nbw));
+  {
+    TPUBZ_PROF(1);
+    build_types(V, n, ty);
+  }
+  auto stype = [&](int32_t i) {
+    return (ty[(uint32_t)i >> 6] >> (i & 63)) & 1;
+  };
+
+  // The induce scans are latency-bound on the random V[j-1]/type reads (j
+  // jumps with suffix order); sa itself is read sequentially, so upcoming
+  // targets are known PD iterations early — prefetch them. The L-scan
+  // seeds suffix n-1 (always L, always first in its bucket by the
+  // shorter-suffix-first rule) at its bucket head: that is the induce
+  // step the explicit sentinel used to perform.
   constexpr int32_t PD = TPUBZ_INDUCE_PD;
   auto induce = [&]() {
     bkt_heads();
+    sa[bkt[V[n - 1]]++] = n - 1;
     for (int32_t i = 0; i < n; ++i) {
       if (i + PD < n) {
         int32_t jp = sa[i + PD];
-        if (jp > 0) __builtin_prefetch(&sv[jp - 1]);
+        if (jp > 0) {
+          __builtin_prefetch(&V[jp - 1]);
+          __builtin_prefetch(&ty[(uint32_t)(jp - 1) >> 6]);
+        }
       }
       int32_t j = sa[i];
       if (j > 0) {
-        FusedT v = sv[j - 1];  // ONE random read: value + type together
-        if (!(v & 1)) sa[bkt[v >> 1]++] = j - 1;
+        int32_t e = j - 1;
+        if (!stype(e)) sa[bkt[V[e]]++] = e;
       }
     }
     bkt_tails();
     for (int32_t i = n - 1; i >= 0; --i) {
       if (i - PD >= 0) {
         int32_t jp = sa[i - PD];
-        if (jp > 0) __builtin_prefetch(&sv[jp - 1]);
+        if (jp > 0) {
+          __builtin_prefetch(&V[jp - 1]);
+          __builtin_prefetch(&ty[(uint32_t)(jp - 1) >> 6]);
+        }
       }
       int32_t j = sa[i];
       if (j > 0) {
-        FusedT v = sv[j - 1];
-        if (v & 1) sa[--bkt[v >> 1]] = j - 1;
+        int32_t e = j - 1;
+        if (stype(e)) sa[--bkt[V[e]]] = e;
       }
     }
   };
 
   // pass 1: LMS suffixes at bucket tails (any order), induce to sort the
-  // LMS *substrings*; the same right-to-left scan collects the LMS
-  // positions (filled from the end so `lms` ends up in ascending index
-  // order without a second pass over sv)
+  // LMS *substrings*. Word-wise LMS scan straight off the type bitmap:
+  // lms = ty & ~(ty<<1 | carry); the mask word doubles as the bitmap the
+  // naming loop probes. plen[pos>>1] = substring length (distance to the
+  // next LMS; LMS positions are never adjacent so pos>>1 is collision-
+  // free); the LAST LMS has no terminating LMS — its substring runs to
+  // n-1, it is unique by construction, and naming guards it explicitly.
   int32_t lms_cap = n / 2 + 1;
   int32_t* lms_buf = ar.alloc(lms_cap);
-  // Per-LMS substring length (next LMS pos - this one; sentinel gets 0),
-  // indexed pos>>1 like name[] (LMS positions are never adjacent), plus a
-  // 1-bit-per-position LMS bitmap: the naming loop tests LMS-ness for all
-  // n SA entries, and the bitmap (n/8 bytes, L1/L2-resident) makes that a
-  // cheap hit instead of a random sv[cur-1..cur] read into the full string.
   int32_t* plen = ar.alloc(lms_cap);
-  int32_t nbw = n / 64 + 1;  // u64 words
   uint64_t* lmsbit = reinterpret_cast<uint64_t*>(ar.alloc8(2 * nbw));
   int32_t m = 0;
   {
     TPUBZ_PROF(2);
     std::fill(sa, sa + n, -1);
     bkt_tails();
-    // Word-wise LMS scan: lms-mask = ty & ~(ty<<1 | carry) over 64
-    // positions at a time (carry = type of the word's predecessor;
-    // seeded 1 so position 0 can never be LMS), with scalar work only on
-    // actual hits. The mask word IS the bitmap the naming loop probes,
-    // so it is stored as computed — no separate memset/bit-set pass.
     int32_t nw = n >> 6;
     int32_t prev_pos = -1;
-    uint64_t carry = 1;
+    uint64_t carry = 1;  // position 0 can never be LMS
     for (int32_t w = 0; w < nw; ++w) {
-      uint64_t ty = ty_bits64(sv + ((int64_t)w << 6));
-      uint64_t lm = ty & ~((ty << 1) | carry);
-      carry = ty >> 63;
+      uint64_t tyw = ty[w];
+      uint64_t lm = tyw & ~((tyw << 1) | carry);
+      carry = tyw >> 63;
       lmsbit[w] = lm;
       int32_t base = w << 6;
       while (lm) {
         int32_t pos = base + (int32_t)__builtin_ctzll(lm);
         lm &= lm - 1;
-        sa[--bkt[sv[pos] >> 1]] = pos;
+        sa[--bkt[V[pos]]] = pos;
         lms_buf[m++] = pos;
         if (prev_pos >= 0) plen[prev_pos >> 1] = pos - prev_pos;
         prev_pos = pos;
@@ -279,10 +315,10 @@ void sais_fused(const FusedT* sv, int32_t* sa, int32_t n, int32_t K,
     uint64_t tail_lms = 0;
     uint64_t prev_ty = carry;
     for (int32_t i = nw << 6; i < n; ++i) {
-      uint64_t t_ = sv[i] & 1;
+      uint64_t t_ = stype(i);
       if (t_ && !prev_ty) {
         tail_lms |= 1ull << (i & 63);
-        sa[--bkt[sv[i] >> 1]] = i;
+        sa[--bkt[V[i]]] = i;
         lms_buf[m++] = i;
         if (prev_pos >= 0) plen[prev_pos >> 1] = i - prev_pos;
         prev_pos = i;
@@ -290,48 +326,39 @@ void sais_fused(const FusedT* sv, int32_t* sa, int32_t n, int32_t K,
       prev_ty = t_;
     }
     if (n & 63) lmsbit[nw] = tail_lms;
-    if (prev_pos >= 0) plen[prev_pos >> 1] = 0;  // sentinel, always last LMS
+    if (prev_pos >= 0) plen[prev_pos >> 1] = 0;  // last LMS: guarded below
   }
   const int32_t* lms = lms_buf;  // LMS positions in index order
+  int32_t last_lms = m > 0 ? lms_buf[m - 1] : -1;
   {
     TPUBZ_PROF(3);
     induce();
   }
 
-  // name LMS substrings in their sorted order. Two LMS positions are never
-  // adjacent (an LMS needs an L directly before it), so name[] indexed by
-  // cur/2 is collision-free at half the footprint. Dirty memory is fine:
-  // every slot read (lms[k]>>1) is written first — after pass 1 the SA
-  // holds all n positions, so the loop visits every LMS.
-  //
-  // Substring compare: the old per-symbol loop (sv read + two is_lms
-  // probes per step) is replaced by a length test + flat memcmp — two LMS
-  // substrings are equal iff their lengths match AND the fused words over
-  // [0, len] match (a length mismatch always means "differ": either a
-  // fused word differs before min(len), or the shorter one's end flag
-  // fires alone). The end symbol IS included in the compare (d == len),
-  // exactly like the old loop which compared sv before checking ends.
+  // name LMS substrings in their sorted order (name[] indexed pos>>1,
+  // collision-free). Two LMS substrings are equal iff their lengths match
+  // AND their VALUES over [0, len] match: both terminals are LMS (S-type),
+  // and interior types are determined backward from the terminal by the
+  // values alone, so a raw value compare — plain bytes at the top level —
+  // is exact. The last LMS substring (terminal = end of string) matches
+  // nothing else by construction and is forced different explicitly.
   int32_t* name = ar.alloc(n / 2 + 1);
   int32_t names = 0;
   int32_t prev = -1;
   {
     TPUBZ_PROF(4);
-    // inline word compare instead of libc memcmp: typical LMS substrings
-    // are <= 4 symbols, so the whole compare is ONE masked u64 load pair
-    // (sv buffers are allocated with >= 4 elements of tail padding to make
-    // the unconditional 8-byte loads safe)
     int32_t lp = 0;
     for (int32_t i = 0; i < n; ++i) {
       int32_t cur = sa[i];
       if (!((lmsbit[(uint32_t)cur >> 6] >> (cur & 63)) & 1)) continue;
       int32_t lc = plen[cur >> 1];
       bool differ;
-      if (prev < 0 || lp != lc) {
+      if (prev < 0 || lp != lc || cur == last_lms || prev == last_lms) {
         differ = true;
       } else {
-        const char* a = reinterpret_cast<const char*>(sv + prev);
-        const char* b = reinterpret_cast<const char*>(sv + cur);
-        size_t bytes = ((size_t)lc + 1) * sizeof(FusedT);
+        const char* a = reinterpret_cast<const char*>(V + prev);
+        const char* b = reinterpret_cast<const char*>(V + cur);
+        size_t bytes = ((size_t)lc + 1) * sizeof(ValT);
         uint64_t wa, wb;
         std::memcpy(&wa, a, 8);
         std::memcpy(&wb, b, 8);
@@ -362,42 +389,27 @@ void sais_fused(const FusedT* sv, int32_t* sa, int32_t n, int32_t K,
     }
   }
 
-  // reduced problem: names in LMS index order (ends with the sentinel's
-  // unique smallest name, so the precondition holds recursively). The
-  // reduced string is built directly in fused form. Both sa1 and sv1 are
-  // fully written before any read (recursion fills sa1[0..m); the
-  // names==m branch writes through the bijective name map), so dirty
-  // arena memory is safe.
+  // reduced problem: names in LMS index order, values in [0, names), no
+  // sentinel (the recursion is the same implicit-sentinel algorithm).
+  // sa1 and V1 are fully written before any read, so dirty arena memory
+  // is safe. +4 int32 tail padding for the naming overreads.
   int32_t* sa1 = ar.alloc(m);
   if (names < m) {
-    // the reduced string reuses the fused-u16 trick whenever the names fit
-    // ((name<<1)|ty <= 65535): half the random-read traffic in the
-    // recursion's induce scans, exactly like the top level
-    auto build_and_recurse = [&](auto* sv1) {
-      using T1 = std::remove_reference_t<decltype(*sv1)>;
+    auto build_and_recurse = [&](auto* V1) {
+      using T1 = std::remove_reference_t<decltype(*V1)>;
       {
         TPUBZ_PROF(5);
-        int32_t nv = name[lms[m - 1] >> 1];  // sentinel name
-        uint8_t ty = 1;
-        sv1[m - 1] = (T1)((nv << 1) | 1);
-        for (int32_t k = m - 2; k >= 0; --k) {
-          int32_t v = name[lms[k] >> 1];
-          ty = (v < nv) || (v == nv && ty);
-          sv1[k] = (T1)((v << 1) | ty);
-          nv = v;
-        }
+        for (int32_t k = 0; k < m; ++k) V1[k] = (T1)name[lms[k] >> 1];
       }
-      sais_fused<T1>(sv1, sa1, m, names, ar);
+      sais_split<T1>(V1, sa1, m, names, ar);
     };
-    // +4 int32 tail padding on every fused buffer: the naming loop's
-    // unconditional 8-byte compare loads may overread past the sentinel
-    if (names < (1 << 15)) {
+    if (names <= (1 << 16)) {
       int32_t* raw = ar.alloc((m + 1) / 2 + 4);
       build_and_recurse(reinterpret_cast<uint16_t*>(raw));
       ar.release((m + 1) / 2 + 4);
     } else {
-      int32_t* sv1 = ar.alloc(m + 4);
-      build_and_recurse(sv1);
+      int32_t* V1 = ar.alloc(m + 4);
+      build_and_recurse(V1);
       ar.release(m + 4);
     }
   } else {
@@ -411,7 +423,7 @@ void sais_fused(const FusedT* sv, int32_t* sa, int32_t n, int32_t K,
     bkt_tails();
     for (int32_t k = m - 1; k >= 0; --k) {
       int32_t j = lms[sa1[k]];
-      sa[--bkt[sv[j] >> 1]] = j;
+      sa[--bkt[V[j]]] = j;
     }
   }
   {
@@ -426,38 +438,21 @@ void sais_fused(const FusedT* sv, int32_t* sa, int32_t n, int32_t K,
 // page faults + kernel zeroing on every call (the block pools are
 // long-lived threads, so the arrays are hot after the first block).
 thread_local std::vector<uint8_t> tl_T;
-thread_local std::vector<uint16_t> tl_sv;
 thread_local std::vector<int32_t> tl_sa;
 thread_local Arena tl_arena;
 
-// Suffix array of a byte string (values shifted +1, sentinel appended,
-// fused u16 lanes: 4x less random-read traffic than int32 value+type).
-// Returns a pointer into thread-local scratch, valid until the next call
-// on this thread: entry i is the start of the i-th smallest suffix.
+// Suffix array of a byte string (used directly as the value array — no
+// shifted copy, no sentinel element). Returns a pointer into thread-local
+// scratch, valid until the next call on this thread: entry i is the start
+// of the i-th smallest suffix. t must have >= 8 bytes of tail padding.
 const int32_t* sais_u8(const uint8_t* t, int32_t n) {
-  int32_t N = n + 1;
-  // +8 u16 tail padding for the naming loop's 8-byte compare overreads
-  if ((int32_t)tl_sv.size() < N + 8) tl_sv.resize(N + 8);
-  uint16_t* sv = tl_sv.data();
-  {
-    TPUBZ_PROF(1);
-    sv[n] = 1;  // sentinel: value 0, S-type
-    int32_t nv = 0;
-    uint8_t ty = 1;
-    for (int32_t i = n - 1; i >= 0; --i) {
-      int32_t v = (int32_t)t[i] + 1;
-      ty = (v < nv) || (v == nv && ty);
-      sv[i] = (uint16_t)((v << 1) | ty);
-      nv = v;
-    }
-  }
-  if ((int32_t)tl_sa.size() < N) tl_sa.resize(N);
-  // per-level simultaneous scratch is <= 2K + 2.6n_l + O(1) ints (lms,
-  // plen, name at n_l/2+1 each, bitmap n_l/32, sa1+sv1 <= n_l) with
-  // n_{l+1} <= n_l/2, so 10N+8192 bounds the whole recursion
-  tl_arena.prepare((size_t)N * 10 + 8192);
-  sais_fused<uint16_t>(sv, tl_sa.data(), N, 257, tl_arena);
-  return tl_sa.data() + 1;  // drop the sentinel's slot 0
+  if ((int32_t)tl_sa.size() < n) tl_sa.resize(n);
+  // per-level simultaneous scratch is <= 2K + 2.7n_l + O(1) ints (lms,
+  // plen, name at n_l/2+1 each, two bitmaps at n_l/32, sa1+V1 <= n_l)
+  // with n_{l+1} <= n_l/2, so 10n+8192 bounds the whole recursion
+  tl_arena.prepare((size_t)n * 10 + 8192);
+  sais_split<uint8_t>(t, tl_sa.data(), n, 256, tl_arena);
+  return tl_sa.data();
 }
 
 // Start index of the lexicographically minimal rotation: the classic
@@ -529,7 +524,9 @@ extern "C" int64_t tpubz_bwt(const uint8_t* data, int64_t n64,
     TPUBZ_PROF(0);
     r = least_rotation(data, n);
   }
-  if ((int32_t)tl_T.size() < n) tl_T.resize(n);
+  // +8 bytes tail padding: T is the SA-IS value array and the naming
+  // loop's word compares overread up to 7 bytes past the last element
+  if ((int32_t)tl_T.size() < n + 8) tl_T.resize(n + 8);
   uint8_t* T = tl_T.data();
   std::memcpy(T, data + r, (size_t)(n - r));
   std::memcpy(T + (n - r), data, (size_t)r);
