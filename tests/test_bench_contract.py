@@ -59,3 +59,26 @@ def test_bench_guard_contract():
     result = json.loads(lines[-1])
     assert result["ok"] is True
     assert result["hybrid_MBps"] > 0 and result["cpu_only_MBps"] > 0
+
+
+def test_real_corpus_deterministic_prefix():
+    """build_real_corpus assembles the audited >=128 MiB real-file corpus
+    and every requested size is a prefix of it (the category interleave
+    keeps prefixes representative); rebuilds are byte-identical (cache
+    keyed by sha256 in the manifest)."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+
+    r = bench.build_real_corpus(2)
+    if r is None:
+        import pytest
+
+        pytest.skip("image lacks real-file material")
+    blob, prov = r
+    assert len(blob) == 2 << 20
+    assert prov["kind"] == "real-files"
+    assert prov["sha256"]
+    assert set(prov["categories"]) == {"binary", "source", "headers", "text"}
+    blob4, prov4 = bench.build_real_corpus(4)
+    assert prov4["sha256"] == prov["sha256"]  # same underlying assembly
+    assert blob4[: len(blob)] == blob  # prefix property
