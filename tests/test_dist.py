@@ -81,3 +81,45 @@ def test_sharded_encode_roundtrip(rng, sys_bunzip2):
 
     assert decompress(payload) == data
     assert sys_bunzip2(payload) == data
+
+
+def test_warm_sharded_stamp(tmp_path, monkeypatch):
+    """Pod warm-stamp discipline: probe false on a cold cache, true after
+    warm_sharded, false again when the stamp predates a source change
+    (tampered hash)."""
+    monkeypatch.setenv("TPUBZ_JAX_CACHE", str(tmp_path))
+    from tpubz.block.encode import DeviceBlockEncoder
+    from tpubz.dist.sharded import (
+        _sharded_stamp_path,
+        block_mesh,
+        probe_sharded,
+        warm_sharded,
+    )
+
+    mesh = block_mesh()
+    B = mesh.devices.size
+    N = DeviceBlockEncoder(9).N
+    assert not probe_sharded(mesh, B, N)
+    warm_sharded(9, mesh)
+    assert probe_sharded(mesh, B, N)
+    with open(_sharded_stamp_path(mesh.devices.shape, B, N), "w") as f:
+        f.write("stale-hash-from-older-sources")
+    assert not probe_sharded(mesh, B, N)
+
+
+def test_multihost_refuses_cold_pod_compile(monkeypatch, tmp_path, rng):
+    """On an accelerator backend with no warm stamp, compress_multihost
+    fails fast with re-warm instructions instead of eating a cold compile;
+    TPUBZ_POD_COLD_OK=1 overrides."""
+    import tpubz.dist.multihost as mh
+
+    monkeypatch.setenv("TPUBZ_JAX_CACHE", str(tmp_path))  # no stamps here
+    monkeypatch.setattr(mh, "_accel_backend", lambda: True)
+    data = bytes(rng.integers(0, 200, 50_000, dtype=np.uint8))
+    with pytest.raises(RuntimeError, match="warm_sharded"):
+        mh.compress_multihost(data, 1)
+    monkeypatch.setenv("TPUBZ_POD_COLD_OK", "1")
+    out = mh.compress_multihost(data, 1)  # CPU devices: compiles in seconds
+    from tpubz.hostref.stream import decompress as href_dec
+
+    assert href_dec(out) == data

@@ -92,3 +92,70 @@ def make_sharded_transform(mesh: Mesh, N: int, axis: str = "blocks"):
         check_vma=False,
     )
     return jax.jit(sharded), out_len
+
+
+# ---- pod warm-stamp discipline (mirrors block/encode.py's AOT stamps) ----
+#
+# The sharded transform cold-compiled in ~27 minutes at B_local=1 on the
+# relay rig (PERFORMANCE.md "Sharded route measured"); a pod job must never
+# eat that inline. warm_sharded() AOT-compiles the transform into the
+# persistent compile cache and stamps it with a hash of the graph-shaping
+# sources keyed by (mesh shape, batch, N); compress_multihost refuses to
+# cold-compile on an accelerator backend unless TPUBZ_POD_COLD_OK=1.
+
+
+def _sharded_src_hash() -> str:
+    import hashlib
+    import inspect
+
+    from ..block import encode as _enc
+
+    h = hashlib.sha256()
+    h.update(_enc._src_hash().encode())
+    h.update(inspect.getsource(make_sharded_transform).encode())
+    return h.hexdigest()
+
+
+def _sharded_stamp_path(mesh_shape, B: int, N: int) -> str:
+    import os
+
+    cache_dir = os.environ.get("TPUBZ_JAX_CACHE", "/root/.jax_cache")
+    key = "x".join(map(str, mesh_shape)) or "1"
+    return os.path.join(cache_dir, f"tpubz_sharded_stamp_{key}_b{B}_n{N}")
+
+
+def probe_sharded(mesh: Mesh, B: int, N: int) -> bool:
+    """True if warm_sharded() stamped this exact (mesh, batch, N, sources)
+    combination — i.e. the persistent compile cache holds the transform."""
+    try:
+        with open(_sharded_stamp_path(mesh.devices.shape, B, N)) as f:
+            return f.read().strip() == _sharded_src_hash()
+    except OSError:
+        return False
+
+
+def warm_sharded(level: int = 9, mesh: Mesh | None = None, B: int | None = None):
+    """AOT-compile the sharded transform for this mesh shape and stamp it.
+
+    Run once per rig/mesh shape after any kernel edit (background-safe:
+    compile-service time only, no chip time). Returns the compiled
+    executable so callers can keep it."""
+    from jax.sharding import NamedSharding
+
+    from ..block.encode import DeviceBlockEncoder, setup_jax_cache
+
+    setup_jax_cache()
+    if mesh is None:
+        mesh = block_mesh()
+    if B is None:
+        B = mesh.devices.size
+    N = DeviceBlockEncoder(level).N
+    fn, _ = make_sharded_transform(mesh, N)
+    sh = NamedSharding(mesh, P("blocks"))
+    exe = fn.lower(
+        jax.ShapeDtypeStruct((B, N), jnp.uint8, sharding=sh),
+        jax.ShapeDtypeStruct((B,), jnp.int32, sharding=sh),
+    ).compile()
+    with open(_sharded_stamp_path(mesh.devices.shape, B, N), "w") as f:
+        f.write(_sharded_src_hash())
+    return exe
