@@ -190,3 +190,35 @@ def test_decompressor_numpy_fallback(rng, monkeypatch):
     dec = tpubz.BZ2Decompressor()
     out = dec.decompress(blob[:3000]) + dec.decompress(blob[3000:])
     assert out == d and dec.eof and dec.unused_data == b"tail"
+
+
+def test_decompressor_large_feed_throughput(rng):
+    """Feeding >=4 MiB chunks unlocks the pre-decode pool: documented
+    guidance (README) says that feed size reaches >=0.8x whole-buffer
+    decompress() throughput — pin it so a regression in the buffered-ahead
+    pre-decode shows up here rather than in a user's pipeline. Timing
+    ratios on the bursty VM use best-of-3."""
+    import time
+
+    import tpubz
+    from tpubz.stream.decode import decompress
+
+    d = _mixed(rng, 6_000_000)
+    c = tpubz.compress(d, 9)
+    decompress(c)  # warm pools/caches
+
+    def t_full():
+        t0 = time.time()
+        assert decompress(c) == d
+        return time.time() - t0
+
+    def t_feed():
+        dec = tpubz.BZ2Decompressor()
+        t0 = time.time()
+        outs = [dec.decompress(c[i : i + (4 << 20)]) for i in range(0, len(c), 4 << 20)]
+        assert b"".join(outs) == d
+        return time.time() - t0
+
+    full = min(t_full() for _ in range(3))
+    feed = min(t_feed() for _ in range(3))
+    assert feed <= full / 0.8 * 1.25  # >=0.8x with 25% VM-noise headroom
