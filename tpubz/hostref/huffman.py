@@ -359,24 +359,36 @@ def huffman_emit_headers(
     # selectors: MTF + unary (m ones then a zero), vectorized
     m = mtf_selectors(selectors, table_count)
     acc.extend(((1 << m) - 1) << 1, m + 1)
-    # per-table code lengths: 5-bit origin, then delta per symbol
+    # per-table code lengths: 5-bit origin, then delta per symbol —
+    # vectorized: symbol s emits |d| repetitions of '10' (d>0) or '11'
+    # (d<0) then a '0' terminator, built as closed-form bit patterns
+    # ('10'*k = 2*(4^k-1)/3, '11'*k = 4^k-1) split into two <=24-bit
+    # fields for BitAccum.extend (|d| <= 19 can need up to 39 bits).
     codes = np.zeros((table_count, alpha), dtype=np.int64)
     for t in range(table_count):
-        lens = lengths[t]
+        lens = np.asarray(lengths[t][:alpha], dtype=np.int64)
         codes[t] = canonical_codes(lens)
-        cur = int(lens[0])
-        log.debug("table %d origin %d written at bit %d", t, cur, acc.bit_len)
-        acc.put(cur, 5)
-        for s in range(alpha):
-            delta = int(lens[s]) - cur
-            cur = int(lens[s])
-            while delta > 0:
-                acc.put(0b10, 2)
-                delta -= 1
-            while delta < 0:
-                acc.put(0b11, 2)
-                delta += 1
-            acc.put(0, 1)
+        log.debug(
+            "table %d origin %d written at bit %d", t, int(lens[0]), acc.bit_len
+        )
+        acc.put(int(lens[0]), 5)
+        d = np.empty(alpha, dtype=np.int64)
+        d[0] = 0
+        d[1:] = lens[1:] - lens[:-1]
+        ad = np.abs(d)
+        k1 = np.minimum(ad, 11)
+        k2 = ad - k1
+
+        def pat(k):
+            p = (np.int64(1) << (2 * k)) - 1  # '11' * k
+            return np.where(d > 0, p // 3 * 2, p)  # '10' * k when rising
+
+        v1, b1 = pat(k1), 2 * k1
+        v2, b2 = pat(k2) << 1, 2 * k2 + 1  # terminator rides field 2
+        vals = np.stack([v1, v2], axis=1).ravel()
+        bits = np.stack([b1, b2], axis=1).ravel()
+        keep = bits > 0
+        acc.extend(vals[keep], bits[keep])
     return codes
 
 

@@ -116,6 +116,8 @@ def get_lib():
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_void_p,
             ]
+            lib.tpubz_block_crc.restype = ctypes.c_uint32
+            lib.tpubz_block_crc.argtypes = [ctypes.c_void_p, ctypes.c_int64]
             lib.tpubz_decode_block.restype = ctypes.c_int64
             lib.tpubz_decode_block.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
@@ -444,3 +446,12 @@ def refine_stream_native(rle2: np.ndarray, alpha: int, iters: int):
         selectors.ctypes.data, lengths.ctypes.data, table_count.ctypes.data,
     )
     return selectors.astype(np.int64), lengths.astype(np.int64), int(table_count[0])
+
+
+def block_crc_native(arr: np.ndarray):
+    """CRC-32/BZIP2 via the native slice-by-8 kernel. Returns int or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    return int(lib.tpubz_block_crc(a.ctypes.data, a.size))

@@ -819,3 +819,11 @@ extern "C" void tpubz_find_magic2(const uint8_t* data, int64_t nbytes,
   *n1_out = f1;
   *n2_out = f2;
 }
+
+// Standalone block CRC export (CRC-32/BZIP2, slice-by-8): the encode path's
+// per-block CRC over the raw pre-RLE1 bytes (reference src/tools/crc.rs:
+// 15-22) — the numpy bit-reversal+zlib route pays two extra passes over
+// the block (measured 2.8 ms vs <1 native on a 900k block).
+extern "C" uint32_t tpubz_block_crc(const uint8_t* data, int64_t n) {
+  return crc32_buf(data, n);
+}
