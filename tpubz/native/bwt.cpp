@@ -19,13 +19,13 @@
 // bit-for-bit (they break rank ties by index). Validated against the
 // hostref oracle on 8.6k brute-force cases incl. all-periodic regimes.
 //
-// SA-IS memory-layout note: the induce passes read a RANDOM position j-1
-// per SA entry, so the per-level string is stored FUSED as
-// (value << 1) | S-type — one random cacheline touch per step instead of
-// two (separate value + type arrays), u16 lanes at the top level. Equality
-// of fused elements == equality of (value, type) pairs, which is exactly
-// what the LMS-substring naming loop compares, so the fused form serves
-// every consumer.
+// SA-IS memory-layout note: split-array, implicit-sentinel form (see the
+// block comment above sais_split) — values are the raw input (u8 at the
+// top level, L2-resident per 900k block), types a 1-bit-per-position
+// bitmap; the induce passes issue the two random reads in parallel. A
+// fused (value<<1|type) u16 string (r4) and libsais-style sign-bit entry
+// marking were both measured slower on this machine (PERFORMANCE.md
+// "r5 CPU-engine round" / "r5 negative").
 //
 // MTF+RLE2: the serial scan with the roll-while-searching list update and
 // bijective base-2 zero runs (semantics of src/tools/rle2_mtf.rs:23-177).
