@@ -155,3 +155,40 @@ def test_tiny_stream_routes_host_and_stays_jax_free(rng, tmp_path):
     blob = dst.read_bytes()
     assert blob == oracle(data, 9)
     assert decompress(blob) == data
+
+
+def test_cli_trace_bits_decode(tmp_path, monkeypatch, capsys):
+    """--trace-bits decodes through the scalar reference decoder and logs a
+    bit position for every header field and decoded symbol (the decode-side
+    counterpart of the encoder's header traces; reference
+    decompress.rs:312-318)."""
+    import logging
+    import os
+    import subprocess
+
+    from tpubz.cli import run
+
+    data = b"trace me, trace me again, trace me once more\n"
+    blob = subprocess.run(
+        ["bzip2", "-9", "-c"], input=data, capture_output=True
+    ).stdout
+    src = tmp_path / "t.bz2"
+    src.write_bytes(blob)
+    monkeypatch.delenv("TPUBZ_TRACE_BITS", raising=False)
+    records = []
+    handler = logging.Handler()
+    handler.emit = lambda r: records.append(r.getMessage())
+    log = logging.getLogger("tpubz")
+    log.addHandler(handler)
+    try:
+        rc = run(["-d", "-k", "-f", "--trace-bits", str(src)], prog="tpubz")
+    finally:
+        log.removeHandler(handler)
+        os.environ.pop("TPUBZ_TRACE_BITS", None)
+    assert rc == 0
+    assert (tmp_path / "t").read_bytes() == data
+    msgs = [m for m in records if "read at bit" in m]
+    assert any("block CRC" in m for m in msgs)
+    assert any("sym " in m for m in msgs)
+    # per-symbol trace count >= number of MTF symbols in a tiny block
+    assert len(msgs) > 10

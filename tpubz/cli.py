@@ -47,6 +47,11 @@ HELP = """usage: tpubz [flags and input files in any order]
                        nothing reads it)
    --profile=DIR       write a jax.profiler trace of the compression to
                        DIR (device-engine runs; view with tensorboard)
+   --trace-bits        decode through the scalar reference decoder with
+                       a bit-position log line for every header field
+                       and decoded symbol (format debugging; implies -vv
+                       on the decode path; the reference's equivalent is
+                       its decompress.rs:312-318 trace)
 
    If invoked as `bunzip2', default action is to decompress.
               as `bzcat', default action is to decompress to stdout.
@@ -70,6 +75,7 @@ class Opts:
         self.engine = "auto"  # auto | host | device
         self.iterations: int | None = None
         self.profile: str | None = None
+        self.trace_bits = False
         self.workfactor: int | None = None  # parsed-unused, like the ref
 
 
@@ -137,6 +143,8 @@ def parse_args(argv: list[str], prog: str = "tpubz") -> Opts:
                     raise SystemExit(f"tpubz: bad value in {arg} (see --help)")
             elif arg.startswith("--profile="):
                 o.profile = arg.split("=", 1)[1]
+            elif arg == "--trace-bits":
+                o.trace_bits = True
             elif arg.startswith("--workfactor="):
                 try:
                     o.workfactor = int(arg.split("=", 1)[1])
@@ -189,7 +197,19 @@ def _compress_fn(o: Opts):
         return compress
 
 
-def _decompress_fn():
+def _decompress_fn(trace_bits: bool = False):
+    if trace_bits:
+        # the scalar reference decoder is the one wired for bit tracing
+        # (hostref/block.py field positions + per-symbol positions in
+        # hostref/huffman.py behind TPUBZ_TRACE_BITS)
+        import logging
+        import os
+
+        os.environ["TPUBZ_TRACE_BITS"] = "1"
+        logging.getLogger("tpubz").setLevel(logging.DEBUG)
+        from .hostref.stream import decompress
+
+        return decompress
     from .stream.decode import decompress
 
     return decompress
@@ -230,7 +250,9 @@ def _run(o: Opts) -> int:
 
         set_huffman_iters(o.iterations)
     compress = _compress_fn(o) if o.mode == "zip" else None
-    decompress = _decompress_fn() if o.mode in ("unzip", "test") else None
+    decompress = (
+        _decompress_fn(o.trace_bits) if o.mode in ("unzip", "test") else None
+    )
 
     if not o.files:
         # stdin/stdout: the bounded-memory streaming paths, like the C
@@ -253,7 +275,9 @@ def _run(o: Opts) -> int:
     rc = 0
     for fname in o.files:
         try:
-            if o.mode in ("zip", "unzip") and not o.stdout:
+            # --trace-bits must flow through the whole-buffer scalar
+            # decoder (the traced one), not the windowed file decoder
+            if o.mode in ("zip", "unzip") and not o.stdout and not o.trace_bits:
                 # streaming paths: bounded memory for arbitrarily large files
                 if o.mode == "zip":
                     out_name = fname + ".bz2"

@@ -55,11 +55,14 @@ def decode_block(br: BitReader, level: int) -> tuple[np.ndarray, int]:
     (tools/probe_ibwt_batched.py, PERFORMANCE.md r4), several times the
     native chase's entire block decode.
     """
+    log.debug("block CRC read at bit %d", br.pos)
     blk_crc = br.read(32)
     br.read_bit()  # randomized flag: read and ignored (decompress.rs:102-103)
+    log.debug("key read at bit %d", br.pos)
     key = br.read(24)
     if key > level * 100_000 + 10:
         raise ValueError("invalid BWT key pointer")
+    log.debug("symbol map read at bit %d", br.pos)
     l1 = br.read(16)
     words = [l1]
     for _ in range(bin(l1).count("1")):
@@ -67,9 +70,11 @@ def decode_block(br: BitReader, level: int) -> tuple[np.ndarray, int]:
     symbol_set = decode_symbol_map(words)
     alpha = symbol_set.size + 2
     eob = symbol_set.size + 1
+    log.debug("table count read at bit %d", br.pos)
     table_count = br.read(3)
     if not 2 <= table_count <= 6:
         raise ValueError("invalid table count")
+    log.debug("selector count read at bit %d", br.pos)
     nsel = br.read(15)
     max_sel = level * 100_000 // 50
     raw_sel = np.empty(min(nsel, max_sel), dtype=np.int64)

@@ -483,7 +483,15 @@ def build_decode_table(lengths: np.ndarray) -> dict:
 def huffman_decode_payload(
     br: BitReader, tables: list[dict], selectors: np.ndarray, eob: int
 ) -> np.ndarray:
-    """Decode symbols until EOB. Returns the symbol array excluding EOB."""
+    """Decode symbols until EOB. Returns the symbol array excluding EOB.
+
+    With TPUBZ_TRACE_BITS set (CLI --trace-bits), every decoded symbol
+    logs its bit position — the decode-side counterpart of the encoder's
+    header traces and the reference's per-symbol format-debugging story
+    (decompress.rs:312-318)."""
+    import os
+
+    trace = bool(os.environ.get("TPUBZ_TRACE_BITS"))
     out: list[int] = []
     group = -1
     g_left = 0
@@ -496,6 +504,7 @@ def huffman_decode_payload(
             t = tables[int(selectors[group])]
             g_left = GROUP_SIZE
         g_left -= 1
+        pos0 = br.pos
         l = t["min_len"]
         code = br.read(l)
         while code > t["limit"][l]:
@@ -504,6 +513,11 @@ def huffman_decode_payload(
             code = (code << 1) | br.read_bit()
             l += 1
         sym = int(t["syms"][t["off"][l] + code - t["base"][l]])
+        if trace:
+            log.debug(
+                "sym %d (table %d, %d bits) read at bit %d",
+                sym, int(selectors[group]), l, pos0,
+            )
         if sym == eob:
             return np.asarray(out, dtype=np.uint16)
         out.append(sym)
