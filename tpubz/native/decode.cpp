@@ -375,6 +375,10 @@ extern "C" int64_t tpubz_decode_block_prof(
   int64_t pos = 0;
   int64_t zeros = 0;
   int64_t bit_mult = 1;
+  // byte histogram folded into this pass (literals count as written, runs
+  // bulk-add) so the inverse-BWT bucket setup below skips its own full
+  // read pass over mtf_out
+  int64_t counts[256] = {0};
   for (int64_t i = 0; i < scount; i++) {
     int sym = symbuf[i];
     if (sym <= 1) {  // RUNA / RUNB
@@ -386,6 +390,7 @@ extern "C" int64_t tpubz_decode_block_prof(
     if (zeros) {
       if (pos + zeros > max_size) return -7;
       std::memset(&mtf_out[pos], mtf[0], zeros);
+      counts[mtf[0]] += zeros;
       pos += zeros;
       zeros = 0;
       bit_mult = 1;
@@ -406,11 +411,13 @@ extern "C" int64_t tpubz_decode_block_prof(
       mtf[0] = b;
     }
     if (pos >= max_size) return -7;
+    counts[b]++;
     mtf_out[pos++] = b;
   }
   if (zeros) {  // zero run pending at EOB
     if (pos + zeros > max_size) return -7;
     std::memset(&mtf_out[pos], mtf[0], zeros);
+    counts[mtf[0]] += zeros;
     pos += zeros;
   }
   mark(1);
@@ -424,8 +431,7 @@ extern "C" int64_t tpubz_decode_block_prof(
   // ONE dependent cache-missing load instead of two.
   std::vector<uint32_t> tt((size_t)n);
   {
-    int64_t counts[256] = {0};
-    for (int64_t i = 0; i < n; i++) counts[mtf_out[i]]++;
+    // counts[] comes pre-filled from the MTF-undo pass above
     int64_t cum[256];
     int64_t acc = 0;
     for (int v = 0; v < 256; v++) {
