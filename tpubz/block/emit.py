@@ -20,7 +20,24 @@ from ..hostref.huffman import huffman_emit, refine_stream
 
 
 def emit_block(key, syms, rle2_len, freqs, used, crc) -> BitAccum:
-    """Host emission from (possibly batched-and-sliced) device outputs."""
+    """Host emission from (possibly batched-and-sliced) device outputs.
+
+    Fast path: the ENTIRE emission (refinement, headers, payload, packing)
+    is one GIL-free native call (native/emit.cpp) — emission was the last
+    GIL-holding leg of the per-block hot path and serialized the worker
+    pool on the interpreter. The Python path below is byte-identical
+    (cross-checked in tests) and remains the no-toolchain fallback."""
+    from ..format.constants import huffman_iters
+    from ..native import emit_block_native
+
+    nat = emit_block_native(
+        int(key), int(crc), syms[:rle2_len], used, huffman_iters()
+    )
+    if nat is not None:
+        data, nbits = nat
+        acc = BitAccum()
+        acc.put_bytes(data, nbits)
+        return acc
     rle2 = syms[:rle2_len].astype(np.int64)
     alpha = int(used.sum()) + 2
     selectors, lengths, table_count = refine_stream(

@@ -20,7 +20,7 @@ _LOCK = threading.Lock()
 _LIB = None
 _LIB_FAILED = False
 
-_SOURCES = ["refine.cpp", "rle1.cpp", "decode.cpp", "pack.cpp", "bwt.cpp"]
+_SOURCES = ["refine.cpp", "rle1.cpp", "decode.cpp", "pack.cpp", "bwt.cpp", "emit.cpp"]
 
 
 def _build() -> str | None:
@@ -118,6 +118,13 @@ def get_lib():
             ]
             lib.tpubz_block_crc.restype = ctypes.c_uint32
             lib.tpubz_block_crc.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+            lib.tpubz_emit_block.restype = ctypes.c_int64
+            lib.tpubz_emit_block.argtypes = [
+                ctypes.c_int32, ctypes.c_uint32,
+                ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_int32,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ]
             lib.tpubz_decode_block.restype = ctypes.c_int64
             lib.tpubz_decode_block.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
@@ -455,3 +462,24 @@ def block_crc_native(arr: np.ndarray):
         return None
     a = np.ascontiguousarray(arr, dtype=np.uint8)
     return int(lib.tpubz_block_crc(a.ctypes.data, a.size))
+
+
+def emit_block_native(key: int, crc: int, syms: np.ndarray, used: np.ndarray,
+                      iters: int):
+    """Whole-block emission (refine + headers + payload + pack) in ONE
+    GIL-free native call. Returns (packed bytes, bit length) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    s = np.ascontiguousarray(syms, dtype=np.uint16)
+    u = np.ascontiguousarray(used, dtype=np.uint8)
+    cap = int(s.size) * 20 // 8 + 8192
+    out = np.empty(cap, dtype=np.uint8)
+    tb = np.zeros(1, dtype=np.int64)
+    n = lib.tpubz_emit_block(
+        int(key), int(crc) & 0xFFFFFFFF, s.ctypes.data, s.size,
+        u.ctypes.data, int(iters), out.ctypes.data, cap, tb.ctypes.data,
+    )
+    if n < 0:
+        return None
+    return out[:n].tobytes(), int(tb[0])
