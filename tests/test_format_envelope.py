@@ -89,3 +89,26 @@ def test_python_fallback_accepts_20_bit_codes():
     data = bytes(range(19)) * 8
     stream = _build_stream_with_lengths(data, _deep_lengths)
     assert py_decompress(stream) == data
+
+
+def test_tiny_and_degenerate_alphabet_interop(rng, sys_bunzip2):
+    """Tiny blocks and degenerate alphabets (1, 2, and all-256 symbols)
+    through the production compress -> our decode AND system bunzip2:
+    pins the native whole-block emitter's corner cases (alpha as small as
+    3, single-group selector streams, full symbol map)."""
+    import subprocess
+
+    import tpubz
+
+    cases = []
+    for n in (1, 2, 3, 4, 5, 17, 51, 255, 256, 1000):
+        cases.append(np.full(n, 65, np.uint8))
+        cases.append(rng.integers(0, 2, n).astype(np.uint8))
+        cases.append(rng.integers(0, 256, n).astype(np.uint8))
+    cases.append(np.arange(256, dtype=np.uint8).repeat(40))
+    for i, a in enumerate(cases):
+        d = a.tobytes()
+        c = tpubz.compress(d, 1)
+        assert tpubz.decompress(c) == d, (i, len(d))
+        p = subprocess.run(["bunzip2", "-c"], input=c, capture_output=True)
+        assert p.returncode == 0 and p.stdout == d, (i, len(d))
