@@ -585,6 +585,21 @@ def _device_block_results(enc, items):
         t_dev = cad * (dev_inflight[0] + 1)
         t_cpu = remaining * _cpu_ema_g[0] / eff_cores
         if t_dev < t_cpu:
+            # Probation: if the cadence rests ONLY on the persisted profile
+            # (no completion and no latency sample from THIS process yet),
+            # it may describe a different relay phase — a wedged relay that
+            # the profile remembers as healthy would otherwise soak up a
+            # deep in-flight window whose every block must be twinned at
+            # the drain head (timeline-measured 22-37% no-block-running
+            # stalls). Cap at 2 until live evidence arrives; the cap
+            # releases on the first completions and costs a healthy phase
+            # only the first ~1 cadence of ramp.
+            if (
+                not dev_lat_samples
+                and len(_dev_done_g) < 2
+                and dev_inflight[0] >= 2
+            ):
+                return False
             return True
         # the estimates reject the device. If the rejection rests ONLY on
         # the persisted profile (no live evidence this process), spend the
