@@ -59,7 +59,13 @@ class _FeedItems:
     def total_estimate(self) -> int:
         return self.feed.total_estimate()
 
-WINDOW = int(os.environ.get("TPUBZ_WINDOW", "16"))
+# In-flight block window of the ordered drain. The head blocks dispatch
+# when the window fills, so the depth must ride out one straggler block
+# (a VM-throttled worker or a slow relay leg) without idling the engines:
+# 16 measured 20% slower than 28 across alternating full-bench A/B pairs
+# (r5 — 12 workers + device legs need ~2 stragglers of headroom). Each
+# slot pins ~1-3 MB (input view + packed output), so 28 ~= +35 MB peak.
+WINDOW = int(os.environ.get("TPUBZ_WINDOW", "28"))
 # engine-speed estimates shared across compress() calls (a warm-up stream
 # trains the hybrid scheduler for the whole process); see device_ok/steal_ok
 _cpu_ema_g = [0.0]
