@@ -192,3 +192,36 @@ def test_cli_trace_bits_decode(tmp_path, monkeypatch, capsys):
     assert any("sym " in m for m in msgs)
     # per-symbol trace count >= number of MTF symbols in a tiny block
     assert len(msgs) > 10
+
+
+def test_cli_trace_bits_concat_and_stdin(tmp_path, monkeypatch, capsysbinary):
+    """--trace-bits must decode CONCATENATED streams completely (the scalar
+    reference decoder now loops over 'BZh' headers like production) and
+    must stay active for stdin decode (review findings r5)."""
+    import io
+    import os
+    import subprocess
+    import sys as _sys
+
+    from tpubz.cli import run
+
+    a, b = b"first stream\n", b"second stream\n"
+    blob = (
+        subprocess.run(["bzip2", "-9c"], input=a, capture_output=True).stdout
+        + subprocess.run(["bzip2", "-9c"], input=b, capture_output=True).stdout
+    )
+    src = tmp_path / "m.bz2"
+    src.write_bytes(blob)
+    monkeypatch.delenv("TPUBZ_TRACE_BITS", raising=False)
+    rc = run(["-d", "-k", "-f", "--trace-bits", str(src)], prog="tpubz")
+    os.environ.pop("TPUBZ_TRACE_BITS", None)
+    assert rc == 0
+    assert (tmp_path / "m").read_bytes() == a + b  # both streams decoded
+
+    # stdin path: the traced scalar decoder must be the one that runs
+    monkeypatch.setattr(_sys, "stdin", type("S", (), {"buffer": io.BytesIO(blob)})())
+    out = io.BytesIO()
+    monkeypatch.setattr(_sys, "stdout", type("S", (), {"buffer": out})())
+    rc = run(["-d", "--trace-bits"], prog="tpubz")
+    os.environ.pop("TPUBZ_TRACE_BITS", None)
+    assert rc == 0 and out.getvalue() == a + b

@@ -324,3 +324,60 @@ def test_multihost_dcn_gather_to_zero(tmp_path):
     # max-padded payloads on BOTH processes
     assert p1["kv"]["payload_bytes_sent"] > 0
     assert p1["kv"]["payload_bytes_sent"] <= p1["allgather"]["payload_bytes_sent"] / 1.8
+
+
+WORKER_CORRUPT = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid = int(sys.argv[1])
+nproc = int(sys.argv[4])
+jax.distributed.initialize(sys.argv[2], num_processes=nproc, process_id=pid)
+import numpy as np
+rng = np.random.default_rng(321)
+d = bytes(rng.integers(0, 200, 300_000, dtype=np.uint8))
+from tpubz.hostref.stream import compress
+from tpubz.dist.multihost import decompress_multihost
+s = bytearray(compress(d, 1))
+s[len(s) // 2] ^= 0x40  # corrupt a payload bit mid-stream
+try:
+    decompress_multihost(bytes(s))
+except ValueError:
+    pass  # expected on process 0 (stitch CRC error)
+# a second healthy call proves neither process is wedged in a collective
+ok = decompress_multihost(compress(d, 1))
+if pid == 0:
+    assert ok == d
+open(sys.argv[3] + f".p{pid}", "w").write("done")
+"""
+
+
+@pytest.mark.slow
+def test_multihost_corrupt_stream_does_not_hang(tmp_path):
+    """A corrupt stream raises on process 0's incremental stitch; the error
+    must ride the walk-state broadcast so BOTH processes exit their
+    collective loops (instead of peers hanging in the next allgather), and
+    the cluster must stay usable for a subsequent healthy call."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER_CORRUPT)
+    coord = "localhost:12423"
+    tag = tmp_path / "done"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(i), coord, str(tag), "2"],
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.PIPE,
+            env=env,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=240) for p in procs]
+    for p, (o, e) in zip(procs, outs):
+        assert p.returncode == 0, e.decode()[-2000:]
+    assert (tmp_path / "done.p0").exists() and (tmp_path / "done.p1").exists()

@@ -266,7 +266,11 @@ def _run(o: Opts) -> int:
             else:
                 compress_stream(sys.stdin.buffer, sys.stdout.buffer, o.level)
         elif o.mode == "unzip":
-            decompress_stream(sys.stdin.buffer, sys.stdout.buffer)
+            if o.trace_bits:
+                # the traced scalar decoder needs the whole buffer
+                sys.stdout.buffer.write(decompress(sys.stdin.buffer.read()))
+            else:
+                decompress_stream(sys.stdin.buffer, sys.stdout.buffer)
         else:
             decompress(sys.stdin.buffer.read())
             _log(o, 1, "stdin: ok")
@@ -276,8 +280,14 @@ def _run(o: Opts) -> int:
     for fname in o.files:
         try:
             # --trace-bits must flow through the whole-buffer scalar
-            # decoder (the traced one), not the windowed file decoder
-            if o.mode in ("zip", "unzip") and not o.stdout and not o.trace_bits:
+            # decoder (the traced one), not the windowed file decoder —
+            # but the flag only affects DECODE, so compression keeps its
+            # bounded-memory streaming path either way
+            if (
+                o.mode in ("zip", "unzip")
+                and not o.stdout
+                and not (o.trace_bits and o.mode == "unzip")
+            ):
                 # streaming paths: bounded memory for arbitrarily large files
                 if o.mode == "zip":
                     out_name = fname + ".bz2"

@@ -82,7 +82,29 @@ def _kv_client():
         return None
 
 
-def _gather_bytes_to_zero(tag, payload, sizes, pid, nproc):
+def _agree_kv_transport(pid: int, nproc: int) -> bool:
+    """Collectively agree on the payload transport for this call: the KV
+    gather-to-0 runs only if EVERY process has a usable KV client and none
+    disabled it — transport is asymmetric (senders set keys, process 0
+    pulls), so a per-process local choice could pair a process blocking in
+    an allgather with one waiting on KV keys that never arrive."""
+    want = (
+        not os.environ.get("TPUBZ_MULTIHOST_ALLGATHER")
+        and _kv_client() is not None
+    )
+    if nproc <= 1:
+        return want
+    from jax.experimental import multihost_utils
+
+    flags = np.asarray(
+        multihost_utils.process_allgather(
+            np.asarray([1 if want else 0], np.int32)
+        )
+    ).reshape(-1)
+    return bool(flags.min())
+
+
+def _gather_bytes_to_zero(tag, payload, sizes, pid, nproc, use_kv):
     """Move each process's payload bytes to process 0 ONLY.
 
     `sizes[p]` (from the preceding manifest allgather) tells process 0 how
@@ -90,16 +112,12 @@ def _gather_bytes_to_zero(tag, payload, sizes, pid, nproc):
     (coordination service): each payload crosses DCN once to the
     coordinator and once out, instead of landing on every process the way
     `process_allgather` does — on an N-host pod that is ~N x less traffic
-    for the dominant transfer. Falls back to the padded allgather when the
-    KV client is unavailable or TPUBZ_MULTIHOST_ALLGATHER=1 (A/B lever).
+    for the dominant transfer. Falls back to the padded allgather when
+    `use_kv` (agreed collectively via _agree_kv_transport) is False.
 
     Returns a list of per-process uint8 arrays on process 0, None elsewhere.
     """
-    client = (
-        None
-        if os.environ.get("TPUBZ_MULTIHOST_ALLGATHER")
-        else _kv_client()
-    )
+    client = _kv_client() if use_kv else None
     if client is None:
         from jax.experimental import multihost_utils
 
@@ -168,6 +186,8 @@ def compress_multihost(data: bytes | np.ndarray, level: int = 9):
     pid = jax.process_index()
     nproc = jax.process_count()
 
+    use_kv = _agree_kv_transport(pid, nproc)
+
     out, blocks = rle1_blocks(arr, block_budget(level))
     enc = DeviceBlockEncoder(level)
     N = enc.N
@@ -186,19 +206,38 @@ def compress_multihost(data: bytes | np.ndarray, level: int = 9):
     # cold-compiled in ~27 minutes on the relay rig. On an accelerator
     # backend, refuse to eat that inline unless explicitly allowed — the
     # CPU backend (tests, dryrun) compiles in seconds and is exempt.
+    # The decision must be COLLECTIVE: stamps and env overrides are
+    # host-local, and a pod where only some hosts refuse would leave the
+    # others hanging in the first collective — so every process reports
+    # its readiness and they all raise together if ANY host is cold.
     from .sharded import probe_sharded
 
-    if _accel_backend() and not probe_sharded(mesh, G, N):
-        if not os.environ.get("TPUBZ_POD_COLD_OK"):
-            raise RuntimeError(
-                "sharded transform is not AOT-warmed for mesh shape "
-                f"{mesh.devices.shape} (B={G}, N={N}) with the current "
-                "kernel sources. Run tpubz.dist.sharded.warm_sharded("
-                f"level={level}) once on this rig (compile-service time "
-                "only, no chip time), or set TPUBZ_POD_COLD_OK=1 to accept "
-                "a cold inline compile (measured ~27 min at B_local=1 on "
-                "the relay rig)."
+    cold_here = (
+        _accel_backend()
+        and not probe_sharded(mesh, G, N)
+        and not os.environ.get("TPUBZ_POD_COLD_OK")
+    )
+    if nproc > 1:
+        flags = np.asarray(
+            multihost_utils.process_allgather(
+                np.asarray([1 if cold_here else 0], np.int32)
             )
+        ).reshape(-1)
+        cold_any = bool(flags.max())
+        cold_hosts = [p for p in range(nproc) if flags[p]]
+    else:
+        cold_any = cold_here
+        cold_hosts = [0] if cold_here else []
+    if cold_any:
+        raise RuntimeError(
+            "sharded transform is not AOT-warmed on process(es) "
+            f"{cold_hosts} for mesh shape {mesh.devices.shape} (B={G}, "
+            f"N={N}) with the current kernel sources. Run "
+            f"tpubz.dist.sharded.warm_sharded(level={level}) once on "
+            "each host (compile-service time only, no chip time), or set "
+            "TPUBZ_POD_COLD_OK=1 on every host to accept a cold inline "
+            "compile (measured ~27 min at B_local=1 on the relay rig)."
+        )
 
     nblocks = len(blocks)
     rows_per_proc = max(
@@ -283,7 +322,7 @@ def compress_multihost(data: bytes | np.ndarray, level: int = 9):
         flat_caps = (all_man[:, :, 1] + 7) // 8 * (all_man[:, :, 0] > 0)
         sizes = [int(flat_caps[p].sum()) for p in range(nproc)]
         flats = _gather_bytes_to_zero(
-            f"tpubz/enc/{_kv_seq[0]}/{base}", flat, sizes, pid, nproc
+            f"tpubz/enc/{_kv_seq[0]}/{base}", flat, sizes, pid, nproc, use_kv
         )
         if pid != 0:
             continue
@@ -377,6 +416,7 @@ def decompress_multihost(data: bytes) -> bytes | None:
     if not has_native:
         # no native engine somewhere: decode serially on process 0
         return decompress(data) if pid == 0 else None
+    use_kv = _agree_kv_transport(pid, nproc)
     if len(data) < 4 or data[:3] != STREAM_MAGIC:
         raise ValueError("not a bzip2 stream")
 
@@ -582,7 +622,8 @@ def decompress_multihost(data: bytes) -> bytes | None:
                     else np.zeros(0, np.uint8)
                 )
                 flats = _gather_bytes_to_zero(
-                    f"tpubz/dec/{_kv_seq[0]}/{w0}", flat, flat_sizes, pid, nproc
+                    f"tpubz/dec/{_kv_seq[0]}/{w0}", flat, flat_sizes,
+                    pid, nproc, use_kv,
                 )
                 if pid == 0:
                     for p in range(nproc):
@@ -600,20 +641,37 @@ def decompress_multihost(data: bytes) -> bytes | None:
                             )
                             off += size
             # incremental stitch + walk-state broadcast (u32 pair: the
-            # broadcast also runs under x64-disabled jax config)
+            # broadcast also runs under x64-disabled jax config). A stitch
+            # failure (corrupt stream: CRC/magic errors) must NOT raise
+            # here on process 0 alone — the peers are already waiting in
+            # this broadcast / the next window's allgather and would hang;
+            # the error rides the done flag (2) so everyone exits the
+            # collective loop together and process 0 re-raises after.
+            walk_err = None
             if pid == 0:
-                advance_walk(candidates[win_ids[-1]])
+                try:
+                    advance_walk(candidates[win_ids[-1]])
+                except (ValueError, EOFError) as e:
+                    walk_err = e
             state = np.zeros(3, np.uint32)
             if pid == 0:
                 wp = max(
                     walk["pos"] if walk["in_stream"] else walk["pos_byte"] * 8,
                     0,
                 )
-                state[:] = (wp & 0xFFFFFFFF, wp >> 32, int(walk["done"]))
+                state[:] = (
+                    wp & 0xFFFFFFFF,
+                    wp >> 32,
+                    2 if walk_err is not None else int(walk["done"]),
+                )
             state = np.asarray(multihost_utils.broadcast_one_to_all(state))
             walked_past = int(state[0]) | (int(state[1]) << 32)
             if state[2]:
-                break  # final footer consumed: cancel remaining windows
+                # done (1) or stitch error on process 0 (2): every process
+                # cancels its remaining windows together
+                if walk_err is not None:
+                    raise walk_err
+                break
     finally:
         ex.shutdown(wait=False)
 

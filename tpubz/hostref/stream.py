@@ -44,34 +44,44 @@ def compress(data: bytes | np.ndarray, level: int = 9) -> bytes:
 
 
 def decompress(data: bytes) -> bytes:
+    """Scalar reference decode. Handles CONCATENATED streams exactly like
+    the production decoder (stream/decode.py): after a stream's footer the
+    reader byte-aligns and continues if another 'BZh' header follows —
+    without this, --trace-bits (which routes through here) would silently
+    truncate `cat a.bz2 b.bz2` output to the first stream."""
     br = BitReader(data)
-    magic = bytes(br.read(8) for _ in range(3))
-    if magic != STREAM_MAGIC:
-        raise ValueError("not a bzip2 stream")
-    level = br.read(8) - 0x30
-    if not 1 <= level <= 9:
-        raise ValueError("invalid block size digit")
-    s_crc = 0
     parts: list[np.ndarray] = []
     while True:
-        magic48 = br.read(48)
-        if magic48 == FOOTER_MAGIC:
-            break
-        if magic48 != BLOCK_MAGIC:
-            raise ValueError("invalid block header magic")
-        raw, blk_crc = decode_block(br, level)
-        actual = block_crc(raw)
-        if actual != blk_crc:
+        magic = bytes(br.read(8) for _ in range(3))
+        if magic != STREAM_MAGIC:
+            raise ValueError("not a bzip2 stream")
+        level = br.read(8) - 0x30
+        if not 1 <= level <= 9:
+            raise ValueError("invalid block size digit")
+        s_crc = 0
+        while True:
+            magic48 = br.read(48)
+            if magic48 == FOOTER_MAGIC:
+                break
+            if magic48 != BLOCK_MAGIC:
+                raise ValueError("invalid block header magic")
+            raw, blk_crc = decode_block(br, level)
+            actual = block_crc(raw)
+            if actual != blk_crc:
+                raise ValueError(
+                    f"block CRC mismatch: stream says {blk_crc:#010x}, got {actual:#010x}"
+                )
+            s_crc = stream_crc_fold(s_crc, blk_crc)
+            parts.append(raw)
+        stream_crc_stored = br.read(32)
+        if stream_crc_stored != s_crc:
             raise ValueError(
-                f"block CRC mismatch: stream says {blk_crc:#010x}, got {actual:#010x}"
+                f"stream CRC mismatch: stream says {stream_crc_stored:#010x}, got {s_crc:#010x}"
             )
-        s_crc = stream_crc_fold(s_crc, blk_crc)
-        parts.append(raw)
-    stream_crc_stored = br.read(32)
-    if stream_crc_stored != s_crc:
-        raise ValueError(
-            f"stream CRC mismatch: stream says {stream_crc_stored:#010x}, got {s_crc:#010x}"
-        )
+        nxt = (br.pos + 7) // 8
+        if nxt + 4 > len(data) or data[nxt : nxt + 3] != STREAM_MAGIC:
+            break
+        br.pos = nxt * 8
     if not parts:
         return b""
     return np.concatenate(parts).tobytes()
