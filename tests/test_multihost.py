@@ -381,3 +381,57 @@ def test_multihost_corrupt_stream_does_not_hang(tmp_path):
     for p, (o, e) in zip(procs, outs):
         assert p.returncode == 0, e.decode()[-2000:]
     assert (tmp_path / "done.p0").exists() and (tmp_path / "done.p1").exists()
+
+
+WORKER_ASYM_TRANSPORT = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid = int(sys.argv[1])
+nproc = int(sys.argv[4])
+if pid == 1:
+    os.environ["TPUBZ_MULTIHOST_ALLGATHER"] = "1"  # asymmetric on purpose
+jax.distributed.initialize(sys.argv[2], num_processes=nproc, process_id=pid)
+import numpy as np
+rng = np.random.default_rng(321)
+d = bytes(rng.integers(0, 200, 260_000, dtype=np.uint8))
+from tpubz.hostref.stream import compress
+from tpubz.dist import multihost
+raw = multihost.decompress_multihost(compress(d, 1))
+if pid == 0:
+    assert raw == d
+    # the agreement must have demoted BOTH processes to allgather
+    assert multihost.last_multihost_stats["transport"] == "allgather"
+open(sys.argv[3] + f".p{pid}", "w").write("done")
+"""
+
+
+@pytest.mark.slow
+def test_multihost_asymmetric_transport_env_agrees(tmp_path):
+    """TPUBZ_MULTIHOST_ALLGATHER set on only ONE process must not deadlock
+    (KV sender paired with an allgather waiter): the transport choice is
+    agreed collectively, so both demote to allgather."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.pop("TPUBZ_MULTIHOST_ALLGATHER", None)
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER_ASYM_TRANSPORT)
+    coord = "localhost:12425"
+    tag = tmp_path / "done"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(i), coord, str(tag), "2"],
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.PIPE,
+            env=env,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=240) for p in procs]
+    for p, (o, e) in zip(procs, outs):
+        assert p.returncode == 0, e.decode()[-2000:]
+    assert (tmp_path / "done.p0").exists() and (tmp_path / "done.p1").exists()
